@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Benchmark: full text→wav real-time factor (RTF) on one TPU chip.
+
+Mirrors the reference's demo benchmark loop — warmup then timed iterations of
+the complete pipeline including the host text frontend
+(reference: demo.py:149-167) — on the tiny (266k-param) model with the
+bundled HiFi-GAN LJ_V2 vocoder weights.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference reports RTF > 1,300 on an A100 (small model, long
+text, --iter 100; reference: README.md:91-97); vs_baseline = value / 1300.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# The long-text benchmark sentence from the reference README (README.md:96)
+LONG_TEXT = (
+    "Once upon a time, in a magical forest filled with colorful flowers and "
+    "sparkling streams, there lived a group of adorable kittens. Their names "
+    "were Fluffy, Sparkle, and Whiskers. With their soft fur and twinkling "
+    "eyes, they charmed everyone they met. Every day, they would play "
+    "together, chasing their tails and pouncing on sunbeams that danced "
+    "through the trees. Their purrs filled the forest with joy, and all the "
+    "woodland creatures couldn't help but smile whenever they saw the cute "
+    "trio. The animals knew that these kittens were truly the epitome of "
+    "cuteness, bringing happiness wherever they went."
+)
+
+BASELINE_RTF = 1300.0
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="tiny",
+                        choices=["tiny", "small", "base"])
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--iter", type=int, default=50)
+    parser.add_argument("--warmup", type=int, default=10)
+    parser.add_argument("--text", default=LONG_TEXT)
+    parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from efficientspeech_tpu.infer import build_synthesizer
+
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    hifigan_ckpt = "/root/reference/hifigan/LJ_V2/generator_v2"
+    if not os.path.isfile(hifigan_ckpt):
+        hifigan_ckpt = ""
+
+    synth = build_synthesizer(
+        preset=args.preset, checkpoint=args.checkpoint,
+        hifigan_checkpoint=hifigan_ckpt, dtype=dtype,
+        # random-init duration head predicts ~0 frames; bias it to the
+        # LJSpeech mean (~6 frames/phoneme) so the benchmark exercises
+        # realistic sequence lengths
+        bench_duration_bias=None if args.checkpoint else 6.0)
+
+    # warmup compiles the bucket program (reference warms 10 iters, demo.py:151)
+    synth.warmup(args.text, iters=args.warmup)
+
+    rtfs, model_rtfs, voice = [], [], 0.0
+    for _ in range(args.iter):
+        _, info = synth.tts(args.text, verbose=args.verbose)
+        rtfs.append(info["rtf"])
+        model_rtfs.append(info["model_rtf"])
+        voice = info["voice_secs"]
+
+    mean_rtf = float(np.mean(rtfs))
+    result = {
+        "metric": "text_to_wav_rtf",
+        "value": round(mean_rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(mean_rtf / BASELINE_RTF, 3),
+    }
+    if args.verbose:
+        extras = {
+            "model_rtf_mean": round(float(np.mean(model_rtfs)), 2),
+            "voice_secs": round(voice, 3),
+            "phonemes": int(info["phoneme_len"]),
+            "device": str(jax.devices()[0]),
+            "precision": args.precision,
+        }
+        print(json.dumps(extras), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

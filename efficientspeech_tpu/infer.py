@@ -1,0 +1,208 @@
+"""Inference engine: text → waveform, one jitted XLA program per length bucket.
+
+TPU-native replacement for the reference's eager predict path
+(reference: demo.py:31-89, model.py:159-164).  The host does only the text
+frontend (cleaners + lexicon/G2P); everything from phoneme IDs to the
+waveform — encoder, length regulation, mel decoding, HiFi-GAN — is a single
+``jax.jit`` program compiled once per (phoneme-bucket, mel-bucket) pair and
+cached, which is the native analogue of the reference's fixed-size ONNX
+export (reference: convert.py:35-42).
+"""
+
+import time
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientspeech_tpu.config import (
+    HifiGanConfig,
+    ModelConfig,
+    PreprocessConfig,
+)
+from efficientspeech_tpu.models import EfficientSpeech
+from efficientspeech_tpu.text.g2p import get_lexicon_and_g2p, text2phoneme
+from efficientspeech_tpu.utils.tools import next_bucket
+
+DEFAULT_PHONEME_BUCKETS = (32, 64, 128, 256)
+# mel bucket = phoneme bucket × this (LJSpeech averages ~6.5 frames/phoneme;
+# 16× leaves ample headroom before the static buffer truncates)
+MEL_EXPANSION = 16
+
+
+class Synthesizer:
+    """Loads params once, then serves ``tts(text)`` with bucket-cached jit."""
+
+    def __init__(self,
+                 cfg: ModelConfig,
+                 hifigan_cfg: HifiGanConfig,
+                 params,
+                 preprocess_cfg: Optional[PreprocessConfig] = None,
+                 dtype=jnp.bfloat16,
+                 phoneme_buckets=DEFAULT_PHONEME_BUCKETS,
+                 mel_expansion: int = MEL_EXPANSION):
+        self.cfg = cfg
+        self.hifigan_cfg = hifigan_cfg
+        self.params = params
+        self.preprocess_cfg = preprocess_cfg or PreprocessConfig()
+        self.dtype = dtype
+        self.phoneme_buckets = tuple(phoneme_buckets)
+        self.mel_expansion = mel_expansion
+        self.lexicon, self.g2p = get_lexicon_and_g2p(self.preprocess_cfg)
+        self._jitted: Dict[int, callable] = {}
+        self.sampling_rate = self.preprocess_cfg.audio.sampling_rate
+        self.hop_length = self.preprocess_cfg.audio.hop_length
+
+    # --- jit program per bucket -------------------------------------------
+    def _get_program(self, bucket: int):
+        fn = self._jitted.get(bucket)
+        if fn is None:
+            import dataclasses
+
+            model = EfficientSpeech(
+                cfg=dataclasses.replace(
+                    self.cfg, max_phoneme_len=bucket,
+                    max_mel_len=bucket * self.mel_expansion),
+                hifigan_cfg=self.hifigan_cfg,
+                dtype=self.dtype)
+
+            @jax.jit
+            def predict(params, phoneme, pad_mask):
+                return model.apply({"params": params}, phoneme, pad_mask,
+                                   method=model.predict)
+
+            self._jitted[bucket] = fn = predict
+        return fn
+
+    # --- frontend ----------------------------------------------------------
+    def phonemize(self, text: str) -> np.ndarray:
+        return text2phoneme(self.lexicon, self.g2p, text, self.preprocess_cfg)
+
+    def _pad_to_bucket(self, seq: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int]:
+        n = len(seq)
+        bucket = next_bucket(n, self.phoneme_buckets)
+        n = min(n, bucket)
+        phoneme = np.zeros((1, bucket), dtype=np.int32)
+        phoneme[0, :n] = seq[:n]
+        pad_mask = np.ones((1, bucket), dtype=bool)
+        pad_mask[0, :n] = False
+        return phoneme, pad_mask, bucket
+
+    # --- synthesis ---------------------------------------------------------
+    def synthesize_ids(self, seq: np.ndarray):
+        """phoneme IDs → (wav f32 np.ndarray trimmed, mel_len, duration)."""
+        phoneme, pad_mask, bucket = self._pad_to_bucket(seq)
+        predict = self._get_program(bucket)
+        wav, wav_len, mel_len, duration = predict(self.params, phoneme, pad_mask)
+        wav_len = int(jax.device_get(wav_len)[0])
+        wav = np.asarray(jax.device_get(wav[0, :wav_len]), dtype=np.float32)
+        return wav, int(jax.device_get(mel_len)[0]), np.asarray(duration)
+
+    def tts(self, text: str, verbose: bool = False):
+        """Full text→wav; returns (wav, info dict with stage timings + RTF)
+        (reference timing style: demo.py:65-83, synthesize.py:69-92)."""
+        t0 = time.time()
+        seq = self.phonemize(text)
+        t1 = time.time()
+        wav, mel_len, duration = self.tts_ids_timed(seq)
+        t2 = time.time()
+        voice_len = len(wav) / self.sampling_rate
+        elapsed = t2 - t0
+        info = {
+            "phoneme_len": len(seq),
+            "mel_len": mel_len,
+            "voice_secs": voice_len,
+            "frontend_secs": t1 - t0,
+            "model_secs": t2 - t1,
+            "total_secs": elapsed,
+            "rtf": voice_len / elapsed if elapsed > 0 else float("inf"),
+            "model_rtf": voice_len / (t2 - t1) if t2 > t1 else float("inf"),
+        }
+        if verbose:
+            print(f"voice: {voice_len:.2f}s  synth: {elapsed*1e3:.2f}ms  "
+                  f"RTF: {info['rtf']:.1f}")
+        return wav, info
+
+    def tts_ids_timed(self, seq: np.ndarray):
+        wav, mel_len, duration = self.synthesize_ids(seq)
+        return wav, mel_len, duration
+
+    def warmup(self, text: str, iters: int = 10):
+        seq = self.phonemize(text)
+        phoneme, pad_mask, bucket = self._pad_to_bucket(seq)
+        predict = self._get_program(bucket)
+        for _ in range(iters):
+            out = predict(self.params, phoneme, pad_mask)
+        jax.block_until_ready(out)
+        return bucket
+
+
+def build_synthesizer(preset: str = "tiny",
+                      checkpoint: Optional[str] = None,
+                      hifigan_checkpoint: str = "/root/reference/hifigan/LJ_V2/generator_v2",
+                      hifigan_config: Optional[str] = None,
+                      preprocess_cfg: Optional[PreprocessConfig] = None,
+                      stats: Optional[dict] = None,
+                      dtype=jnp.bfloat16,
+                      seed: int = 0,
+                      bench_duration_bias: Optional[float] = None) -> Synthesizer:
+    """Build a Synthesizer from a reference torch checkpoint (converted) or
+    random init (+ the bundled HiFi-GAN weights when available).
+
+    bench_duration_bias: with random init the duration head predicts ~0
+    frames; setting its bias gives realistic frame counts for benchmarking.
+    """
+    import os
+
+    if stats is not None:
+        pitch_stats = tuple(stats["pitch"][:2])
+        energy_stats = tuple(stats["energy"][:2])
+        cfg = ModelConfig.preset(preset, pitch_stats=pitch_stats,
+                                 energy_stats=energy_stats)
+    else:
+        cfg = ModelConfig.preset(preset)
+
+    if hifigan_config is None:
+        hifigan_config = os.path.join(os.path.dirname(hifigan_checkpoint),
+                                      "config.json")
+    if os.path.isfile(hifigan_config):
+        hifigan_cfg = HifiGanConfig.from_json(hifigan_config)
+    else:
+        hifigan_cfg = HifiGanConfig()
+
+    model = EfficientSpeech(cfg=cfg, hifigan_cfg=hifigan_cfg, dtype=jnp.float32)
+
+    if checkpoint and checkpoint.endswith((".ckpt", ".pt", ".pth")):
+        from efficientspeech_tpu.convert import load_efficientspeech_checkpoint
+
+        params = load_efficientspeech_checkpoint(
+            checkpoint, depth=cfg.depth, n_blocks=cfg.n_blocks,
+            block_depth=cfg.block_depth,
+            num_kernels=len(hifigan_cfg.resblock_kernel_sizes))
+    elif checkpoint:  # orbax / native checkpoint directory
+        from efficientspeech_tpu.training.checkpoint import restore_params
+
+        params = restore_params(checkpoint)
+    else:
+        rng = jax.random.PRNGKey(seed)
+        dummy_ph = jnp.zeros((1, 32), jnp.int32)
+        dummy_mask = jnp.ones((1, 32), bool)
+        params = model.init(rng, dummy_ph, dummy_mask,
+                            method=model.predict)["params"]
+        params = jax.tree.map(np.asarray, params)
+        if bench_duration_bias is not None:
+            params["phoneme2mel"]["encoder"]["duration_decoder"]["linear"][
+                "bias"] = np.array([bench_duration_bias], np.float32)
+
+    if "hifigan" not in params and os.path.isfile(hifigan_checkpoint):
+        from efficientspeech_tpu.convert import load_hifigan_checkpoint
+
+        params = dict(params)
+        params["hifigan"] = load_hifigan_checkpoint(
+            hifigan_checkpoint,
+            num_kernels=len(hifigan_cfg.resblock_kernel_sizes))
+
+    return Synthesizer(cfg, hifigan_cfg, params,
+                       preprocess_cfg=preprocess_cfg, dtype=dtype)

@@ -42,7 +42,7 @@ class Linear(nn.Module):
                             (in_features, self.features))
         precision = (jax.lax.Precision.HIGHEST
                      if self.dtype == jnp.float32 else None)
-        y = jnp.dot(x, kernel.astype(self.dtype),
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
                     preferred_element_type=self.dtype, precision=precision)
         if self.use_bias:
             bias = self.param("bias", _torch_uniform_init(in_features),

@@ -1,0 +1,53 @@
+"""Train state: params + AdamW(+schedule) optimizer.
+
+Replaces the reference's Lightning configure_optimizers
+(reference: model.py:279-283): AdamW with warmup-cosine LR.  Parameters and
+optimizer state are f32; the forward/backward compute dtype is set on the
+model (bf16 by default on TPU; the reference used fp16 AMP,
+reference: utils/tools.py:326-327).
+
+The frozen HiFi-GAN is kept OUT of the trainable tree (the reference sets
+requires_grad=False, reference: model.py:43-46): the optimizer only sees
+``phoneme2mel``.
+"""
+
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from efficientspeech_tpu.config import TrainConfig
+from efficientspeech_tpu.training.schedule import warmup_cosine_schedule
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any                 # trainable: {"phoneme2mel": ...}
+    opt_state: Any
+    frozen: Any = flax.struct.field(default=None)  # {"hifigan": ...} or None
+
+    def full_params(self) -> Dict:
+        if self.frozen is None:
+            return self.params
+        return {**self.params, **self.frozen}
+
+
+def make_optimizer(train_cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    schedule = warmup_cosine_schedule(
+        train_cfg.lr, train_cfg.warmup_epochs, train_cfg.max_epochs,
+        steps_per_epoch)
+    return optax.adamw(schedule, weight_decay=train_cfg.weight_decay)
+
+
+def create_train_state(params: Dict, train_cfg: TrainConfig,
+                       steps_per_epoch: int,
+                       frozen_keys=("hifigan",)) -> TrainState:
+    trainable = {k: v for k, v in params.items() if k not in frozen_keys}
+    frozen = {k: v for k, v in params.items() if k in frozen_keys} or None
+    tx = make_optimizer(train_cfg, steps_per_epoch)
+    opt_state = tx.init(trainable)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=trainable,
+                      opt_state=opt_state, frozen=frozen)
