@@ -145,8 +145,8 @@ class Preprocessor:
             return None
 
         mel, energy = self.stft(wav[None, :])
-        mel = np.asarray(mel)[0][:total]            # (frames, 80)
-        energy = np.asarray(energy)[0][:total]
+        mel = np.array(mel[0][:total])              # (frames, 80)
+        energy = np.array(energy[0][:total])        # writable host copies
 
         if self.pitch_phoneme_averaging:
             pitch = interpolate_unvoiced(pitch)

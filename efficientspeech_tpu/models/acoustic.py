@@ -161,8 +161,11 @@ class EncoderStage(nn.Module):
         return x
 
 
-def encoder_stage_geometry(cfg: ModelConfig):
-    """Static per-stage (dims, heads, kernels, strides, paddings, lengths, pools)."""
+def encoder_stage_geometry(cfg: ModelConfig, n: Optional[int] = None):
+    """Static per-stage (dims, heads, kernels, strides, paddings, lengths,
+    pools) for input length ``n`` (defaults to cfg.max_phoneme_len; callers
+    inside the model pass the traced input's static length so geometry always
+    matches the actual bucket)."""
     small = cfg.embed_dim // cfg.reduction
     dim_ins = [cfg.embed_dim] + [small * (2 ** i) for i in range(cfg.depth - 1)]
     dim_outs = [small * (2 ** i) for i in range(cfg.depth)]
@@ -172,7 +175,7 @@ def encoder_stage_geometry(cfg: ModelConfig):
     strides = [1] + [2] * (cfg.depth - 1)
 
     lengths, pools = [], []
-    n = cfg.max_phoneme_len
+    n = cfg.max_phoneme_len if n is None else n
     cur = n
     for i in range(cfg.depth):
         cur = (cur + 2 * paddings[i] - kernels[i]) // strides[i] + 1
@@ -193,7 +196,7 @@ class Encoder(nn.Module):
     def __call__(self, phoneme: jnp.ndarray, pad_mask: jnp.ndarray):
         cfg = self.cfg
         dim_ins, dim_outs, heads, kernels, strides, paddings, lengths, pools = \
-            encoder_stage_geometry(cfg)
+            encoder_stage_geometry(cfg, phoneme.shape[1])
 
         x = Embedding(VOCAB_SIZE, cfg.embed_dim, dtype=self.dtype,
                       name="embed")(phoneme)
@@ -224,7 +227,7 @@ class Fuse(nn.Module):
     def __call__(self, features, masks):
         cfg = self.cfg
         dim = cfg.filter_dim
-        out_len = cfg.max_phoneme_len
+        out_len = masks[0].shape[1]  # == input phoneme length (stage0 stride 1)
         fused = []
         for i, feature in enumerate(features):
             x = Linear(dim, dtype=self.dtype, name=f"mlp{i}")(feature)

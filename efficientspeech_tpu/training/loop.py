@@ -1,0 +1,225 @@
+"""The training loop: epochs over the bucketed loader, pjit'd steps,
+epoch-averaged metrics, periodic validation wav dumps, orbax checkpoints.
+
+Replaces Lightning's Trainer.fit + EfficientSpeech hooks
+(reference: train.py:66-78, model.py:212-271): same observable artifacts —
+mel/pitch/energy/dur/loss/lr scalars per epoch (TensorBoard via tensorboardX
+when available, always a metrics.jsonl), prediction-i.wav +
+reconstruction-i.wav + prediction.txt every ``val_every_n_epochs`` epochs.
+"""
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientspeech_tpu.config import (
+    HifiGanConfig,
+    ModelConfig,
+    PreprocessConfig,
+    TrainConfig,
+)
+from efficientspeech_tpu.data.dataset import BucketedLoader, LJSpeechDataset
+from efficientspeech_tpu.models.efficientspeech import EfficientSpeech
+from efficientspeech_tpu.models.phoneme2mel import Phoneme2Mel
+from efficientspeech_tpu.parallel import make_mesh, shard_batch
+from efficientspeech_tpu.training.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from efficientspeech_tpu.training.schedule import warmup_cosine_schedule
+from efficientspeech_tpu.training.state import create_train_state, make_optimizer
+from efficientspeech_tpu.training.step import make_eval_step, make_train_step
+from efficientspeech_tpu.utils.tools import write_batch_wavs
+
+
+class MetricLogger:
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir)
+        except ImportError:
+            self.tb = None
+
+    def log(self, step: int, scalars: Dict[str, float]):
+        self.jsonl.write(json.dumps({"step": step, **scalars}) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, v, step)
+
+
+class Trainer:
+    def __init__(self,
+                 model_cfg: ModelConfig,
+                 train_cfg: TrainConfig,
+                 preprocess_cfg: PreprocessConfig,
+                 hifigan_cfg: Optional[HifiGanConfig] = None,
+                 hifigan_params=None,
+                 dtype=jnp.bfloat16,
+                 mesh=None):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.preprocess_cfg = preprocess_cfg
+        self.hifigan_cfg = hifigan_cfg or HifiGanConfig()
+        self.hifigan_params = hifigan_params
+        self.dtype = dtype
+        self.mesh = mesh if mesh is not None else make_mesh(
+            data_parallel=train_cfg.num_data_axis)
+
+        self.model = Phoneme2Mel(model_cfg, dtype=dtype)
+        self.logger = MetricLogger(train_cfg.log_dir)
+
+        self.train_ds = LJSpeechDataset("train.txt", preprocess_cfg)
+        self.val_ds = LJSpeechDataset("val.txt", preprocess_cfg)
+        self.train_loader = BucketedLoader(
+            self.train_ds, train_cfg.batch_size, shuffle=True,
+            seed=train_cfg.seed,
+            max_phoneme_len=model_cfg.max_phoneme_len,
+            max_mel_len=model_cfg.max_mel_len, drop_last=True)
+        self.val_loader = BucketedLoader(
+            self.val_ds, train_cfg.batch_size, shuffle=False,
+            max_phoneme_len=model_cfg.max_phoneme_len,
+            max_mel_len=model_cfg.max_mel_len)
+
+        self.steps_per_epoch = max(1, len(self.train_loader))
+        self.tx = make_optimizer(train_cfg, self.steps_per_epoch)
+        self.lr_schedule = warmup_cosine_schedule(
+            train_cfg.lr, train_cfg.warmup_epochs, train_cfg.max_epochs,
+            self.steps_per_epoch)
+
+        params = self._init_params()
+        self.state = create_train_state({"phoneme2mel": params}, train_cfg,
+                                        self.steps_per_epoch)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.state = jax.device_put(self.state, NamedSharding(self.mesh, P()))
+        self.train_step = make_train_step(self.model, self.tx, mesh=self.mesh)
+        self.eval_step = make_eval_step(self.model, mesh=self.mesh)
+        self._vocoder = None
+
+    def _init_params(self):
+        b = self.train_cfg.batch_size
+        n = self.model_cfg.max_phoneme_len
+        dummy = {
+            "phoneme": jnp.zeros((b, n), jnp.int32),
+            "mask": jnp.ones((b, n), bool),
+            "scalar": jnp.zeros((b, n), jnp.float32),
+            "dur": jnp.ones((b, n), jnp.int32),
+        }
+        return self.model.init(
+            jax.random.PRNGKey(self.train_cfg.seed), dummy["phoneme"],
+            dummy["mask"], pitch_target=dummy["scalar"],
+            energy_target=dummy["scalar"], duration_target=dummy["dur"],
+            train=True)["params"]
+
+    def maybe_resume(self) -> int:
+        path = latest_checkpoint(self.train_cfg.checkpoint_dir)
+        if path:
+            self.state = restore_checkpoint(path, self.state)
+            print(f"resumed from {path} at step {int(self.state.step)}")
+        return int(jax.device_get(self.state.step))
+
+    # --- validation audio dumps (reference: model.py:246-271) --------------
+    def _get_vocoder(self):
+        if self._vocoder is None and self.hifigan_params is not None:
+            from efficientspeech_tpu.models.hifigan import HifiGanGenerator
+
+            gen = HifiGanGenerator(self.hifigan_cfg, dtype=self.dtype)
+
+            @jax.jit
+            def vocode(params, mel, mel_len):
+                return gen.apply({"params": params}, mel, valid_len=mel_len)
+
+            self._vocoder = vocode
+        return self._vocoder
+
+    def validate_audio(self, epoch: int):
+        vocode = self._get_vocoder()
+        if vocode is None:
+            return
+        batch = next(iter(self.val_loader))
+        import dataclasses
+
+        infer_model = Phoneme2Mel(self.model_cfg, dtype=self.dtype)
+        pred = infer_model.apply(
+            {"params": jax.device_get(self.state.params)["phoneme2mel"]},
+            jnp.asarray(batch["phoneme"]), jnp.asarray(batch["phoneme_mask"]),
+            train=False)
+        mel_len = jnp.minimum(pred["mel_len"], self.model_cfg.max_mel_len)
+        wavs = vocode(self.hifigan_params, pred["mel"], mel_len)
+        hop = self.preprocess_cfg.audio.hop_length
+        lengths = np.asarray(jax.device_get(mel_len)) * hop
+        write_batch_wavs(np.asarray(jax.device_get(wavs), np.float32),
+                         lengths, self.train_cfg.wav_path, "prediction",
+                         self.preprocess_cfg.audio.sampling_rate,
+                         self.preprocess_cfg.audio.max_wav_value)
+
+        gt_len = (~batch["mel_mask"]).sum(axis=1).astype(np.int32)
+        rec = vocode(self.hifigan_params, jnp.asarray(batch["mel"]),
+                     jnp.asarray(gt_len))
+        write_batch_wavs(np.asarray(jax.device_get(rec), np.float32),
+                         gt_len * hop, self.train_cfg.wav_path,
+                         "reconstruction",
+                         self.preprocess_cfg.audio.sampling_rate,
+                         self.preprocess_cfg.audio.max_wav_value)
+        os.makedirs(self.train_cfg.wav_path, exist_ok=True)
+        with open(os.path.join(self.train_cfg.wav_path, "prediction.txt"),
+                  "w") as f:
+            for t in batch["text"]:
+                f.write(t + "\n")
+
+    # --- main loop ----------------------------------------------------------
+    def fit(self, max_epochs: Optional[int] = None,
+            checkpoint_every_epochs: int = 10,
+            max_steps: Optional[int] = None):
+        max_epochs = max_epochs or self.train_cfg.max_epochs
+        start_step = self.maybe_resume()
+        start_epoch = start_step // self.steps_per_epoch
+        t0 = time.time()
+        step = start_step
+
+        for epoch in range(start_epoch, max_epochs):
+            sums: Dict[str, float] = {}
+            count = 0
+            self.train_loader.epoch = epoch  # deterministic resume order
+            for batch in self.train_loader:
+                host_batch = {k: v for k, v in batch.items() if k != "text"}
+                sharded = shard_batch(host_batch, self.mesh)
+                self.state, metrics = self.train_step(self.state, sharded)
+                step += 1
+                count += 1
+                for k, v in jax.device_get(metrics).items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                if max_steps is not None and step >= max_steps:
+                    break
+
+            scalars = {k.replace("_loss", ""): v / max(count, 1)
+                       for k, v in sums.items()}
+            scalars["lr"] = float(self.lr_schedule(step))
+            scalars["epoch"] = epoch
+            scalars["wall_secs"] = time.time() - t0
+            self.logger.log(step, scalars)
+
+            if (epoch + 1) % checkpoint_every_epochs == 0 or \
+                    (max_steps is not None and step >= max_steps):
+                save_checkpoint(self.train_cfg.checkpoint_dir, self.state,
+                                step=step)
+            if epoch >= 1 and (epoch + 1) % self.train_cfg.val_every_n_epochs == 0:
+                try:
+                    self.validate_audio(epoch)
+                except Exception as e:  # audio dumps must not kill training
+                    print(f"validation audio dump failed: {e}")
+            if max_steps is not None and step >= max_steps:
+                break
+
+        save_checkpoint(self.train_cfg.checkpoint_dir, self.state, step=step)
+        return step

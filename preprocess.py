@@ -1,0 +1,19 @@
+#!/usr/bin/env python3
+"""Dataset preprocessing CLI (reference: preprocess.py:1-13).
+
+    python preprocess.py configs/ljspeech.yaml
+"""
+
+import argparse
+
+from efficientspeech_tpu.config import PreprocessConfig
+from efficientspeech_tpu.data.preprocessor import Preprocessor
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config", type=str, help="path to preprocess.yaml")
+    args = parser.parse_args()
+
+    config = PreprocessConfig.from_yaml(args.config)
+    preprocessor = Preprocessor(config)
+    preprocessor.build_from_path()

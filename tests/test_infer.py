@@ -1,0 +1,43 @@
+"""Synthesizer end-to-end smoke: text → wav with bucket-cached jit,
+small shapes (full vocoder graphs are exercised on TPU by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from efficientspeech_tpu.infer import Synthesizer, build_synthesizer
+
+
+@pytest.fixture(scope="module")
+def synth():
+    s = build_synthesizer(preset="tiny", hifigan_checkpoint="",
+                          dtype=jnp.float32, bench_duration_bias=4.0)
+    # tiny buckets so the CPU test compiles fast
+    s.phoneme_buckets = (16, 32)
+    s.mel_expansion = 6
+    return s
+
+
+def test_tts_end_to_end(synth):
+    wav, info = synth.tts("hello world")
+    assert isinstance(wav, np.ndarray)
+    assert wav.ndim == 1 and len(wav) > 0
+    assert len(wav) == info["mel_len"] * 256
+    assert np.isfinite(wav).all()
+    assert info["rtf"] > 0
+
+
+def test_bucket_geometry_mismatch_regression(synth):
+    """Input shorter than the config's max_phoneme_len must still run
+    (geometry derives from the input's static shape, not the config)."""
+    for text in ["hi", "the quick brown fox jumps over the lazy dog"]:
+        wav, info = synth.tts(text)
+        assert len(wav) > 0
+
+
+def test_program_cache_reuse(synth):
+    synth.tts("first sentence here")
+    n_programs = len(synth._jitted)
+    synth.tts("second one")
+    assert len(synth._jitted) == n_programs  # same bucket reused
