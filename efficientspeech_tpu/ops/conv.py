@@ -45,6 +45,21 @@ def conv1d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray] = No
     return out
 
 
+def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+           stride=(1, 1), padding=(0, 0)) -> jnp.ndarray:
+    """torch.nn.Conv2d equivalent; x (B, H, W, C_in), kernel (kh, kw, C_in, C_out)."""
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype),
+        window_strides=tuple(stride),
+        padding=((padding[0], padding[0]), (padding[1], padding[1])),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_precision_for(x),
+    )
+    if bias is not None:
+        out = out + bias.astype(x.dtype)
+    return out
+
+
 def conv_transpose1d(x: jnp.ndarray, kernel: jnp.ndarray,
                      bias: Optional[jnp.ndarray] = None, stride: int = 1,
                      padding: int = 0) -> jnp.ndarray:
