@@ -44,6 +44,12 @@ def main():
     parser.add_argument("--warmup", type=int, default=10)
     parser.add_argument("--text", default=LONG_TEXT)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
+    parser.add_argument("--metric", default="rtf",
+                        choices=["rtf", "mel_rtf"],
+                        help="rtf = full text→wav; mel_rtf = mel-stage only "
+                             "(the reference's mRTF headline, README.md:3)")
+    parser.add_argument("--profile", default=None,
+                        help="write a jax.profiler trace to this directory")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -51,6 +57,9 @@ def main():
     import jax.numpy as jnp
 
     from efficientspeech_tpu.infer import build_synthesizer
+    from efficientspeech_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     hifigan_ckpt = "/root/reference/hifigan/LJ_V2/generator_v2"
@@ -68,12 +77,41 @@ def main():
     # warmup compiles the bucket program (reference warms 10 iters, demo.py:151)
     synth.warmup(args.text, iters=args.warmup)
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+    if args.metric == "mel_rtf":
+        # reference mRTF: seconds of mel audio per wall second
+        # (reference headline: 104x on RPi4, README.md:3)
+        seq = synth.phonemize(args.text)
+        phoneme, pad_mask, bucket = synth._pad_to_bucket(seq)
+        acoustic = synth._get_acoustic(bucket)
+        hop_secs = synth.hop_length / synth.sampling_rate
+        mrtfs = []
+        for _ in range(args.iter):
+            t0 = time.time()
+            mel, mel_len, _ = acoustic(synth.params["phoneme2mel"],
+                                       phoneme, pad_mask)
+            mel_len = int(jax.device_get(mel_len)[0])
+            mrtfs.append(mel_len * hop_secs / (time.time() - t0))
+        mean = float(np.mean(mrtfs))
+        if args.profile:
+            jax.profiler.stop_trace()
+        # mRTF baseline: 104x on RPi4 (README.md:3)
+        print(json.dumps({"metric": "mel_rtf", "value": round(mean, 2),
+                          "unit": "x_realtime",
+                          "vs_baseline": round(mean / 104.0, 3)}))
+        return
+
     rtfs, model_rtfs, voice = [], [], 0.0
     for _ in range(args.iter):
         _, info = synth.tts(args.text, verbose=args.verbose)
         rtfs.append(info["rtf"])
         model_rtfs.append(info["model_rtf"])
         voice = info["voice_secs"]
+
+    if args.profile:
+        jax.profiler.stop_trace()
 
     mean_rtf = float(np.mean(rtfs))
     result = {

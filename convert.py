@@ -35,6 +35,10 @@ def main():
 
     import jax.numpy as jnp
 
+    from efficientspeech_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from efficientspeech_tpu.config import HifiGanConfig, ModelConfig
     from efficientspeech_tpu.infer import build_synthesizer
 

@@ -46,6 +46,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from efficientspeech_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from efficientspeech_tpu.config import PreprocessConfig
     from efficientspeech_tpu.infer import build_synthesizer
     from efficientspeech_tpu.utils.tools import write_wav

@@ -100,6 +100,25 @@ def griffin_lim(magnitude: jnp.ndarray, n_iters: int = 30, n_fft: int = 1024,
     return istft(magnitude, phase, n_fft, hop_length, win_length)
 
 
+def _pinv(mat: jnp.ndarray) -> jnp.ndarray:
+    return jnp.linalg.pinv(mat)
+
+
+def mel_to_wav_griffin_lim(mel: jnp.ndarray, mel_basis: jnp.ndarray,
+                           n_iters: int = 60, n_fft: int = 1024,
+                           hop_length: int = 256,
+                           win_length: int = 1024) -> jnp.ndarray:
+    """Vocoder-free mel → wav debug path (reference: audio/tools.py:21-34).
+
+    mel: (B, frames, n_mels) log-compressed; mel_basis: (n_mels, bins).
+    """
+    linear = jnp.exp(mel)  # dynamic_range_decompression, C=1
+    mag = jnp.einsum("btm,mf->btf", linear, _pinv(mel_basis).T)
+    mag = jnp.maximum(mag, 0.0)
+    return griffin_lim(mag, n_iters=n_iters, n_fft=n_fft,
+                       hop_length=hop_length, win_length=win_length)
+
+
 class MelSpectrogram:
     """Batched mel + energy extraction (reference: audio/stft.py:137-182).
 

@@ -22,7 +22,9 @@ from efficientspeech_tpu.config import (
     ModelConfig,
     PreprocessConfig,
 )
-from efficientspeech_tpu.models import EfficientSpeech
+from efficientspeech_tpu.models import EfficientSpeech, HifiGanGenerator
+from efficientspeech_tpu.models.hifigan import chunked_vocoder_call
+from efficientspeech_tpu.models.phoneme2mel import Phoneme2Mel
 from efficientspeech_tpu.text.g2p import get_lexicon_and_g2p, text2phoneme
 from efficientspeech_tpu.utils.tools import next_bucket
 
@@ -55,26 +57,58 @@ class Synthesizer:
         self.sampling_rate = self.preprocess_cfg.audio.sampling_rate
         self.hop_length = self.preprocess_cfg.audio.hop_length
 
-    # --- jit program per bucket -------------------------------------------
-    def _get_program(self, bucket: int):
-        fn = self._jitted.get(bucket)
+    # --- jit programs -------------------------------------------------------
+    # Split pipeline: program A (per phoneme bucket) runs phonemes → padded
+    # mel + mel_len; a cheap host sync reads mel_len; program B (per chunk
+    # count) vocodes only ceil(mel_len/chunk) time-folded chunks.  This keeps
+    # vocoder FLOPs proportional to the ACTUAL utterance length instead of
+    # the padded bucket (the vocoder dominates end-to-end cost).
+    VOCODER_CHUNK = 128
+    VOCODER_HALO = 16  # > generator receptive field (~13.7 frames)
+
+    def _get_acoustic(self, bucket: int):
+        fn = self._jitted.get(("acoustic", bucket))
         if fn is None:
             import dataclasses
 
-            model = EfficientSpeech(
+            model = Phoneme2Mel(
                 cfg=dataclasses.replace(
                     self.cfg, max_phoneme_len=bucket,
                     max_mel_len=bucket * self.mel_expansion),
-                hifigan_cfg=self.hifigan_cfg,
                 dtype=self.dtype)
 
             @jax.jit
-            def predict(params, phoneme, pad_mask):
-                return model.apply({"params": params}, phoneme, pad_mask,
-                                   method=model.predict)
+            def acoustic(params, phoneme, pad_mask):
+                pred = model.apply({"params": params}, phoneme, pad_mask,
+                                   train=False)
+                return pred["mel"], pred["mel_len"], pred["duration"]
 
-            self._jitted[bucket] = fn = predict
+            self._jitted[("acoustic", bucket)] = fn = acoustic
         return fn
+
+    def _get_vocoder(self, n_chunks: int):
+        fn = self._jitted.get(("vocoder", n_chunks))
+        if fn is None:
+            gen = HifiGanGenerator(self.hifigan_cfg, dtype=self.dtype)
+            chunk, halo = self.VOCODER_CHUNK, self.VOCODER_HALO
+
+            @jax.jit
+            def vocode(params, mel, mel_len):
+                return chunked_vocoder_call(
+                    lambda c, l, s: gen.apply({"params": params}, c,
+                                              valid_len=l, valid_start=s),
+                    self.hifigan_cfg.total_upsample, mel, mel_len,
+                    chunk_frames=chunk, halo=halo)
+
+            self._jitted[("vocoder", n_chunks)] = fn = vocode
+        return fn
+
+    @staticmethod
+    def _chunk_bucket(n_chunks: int) -> int:
+        b = 1
+        while b < n_chunks:
+            b *= 2
+        return b
 
     # --- frontend ----------------------------------------------------------
     def phonemize(self, text: str) -> np.ndarray:
@@ -94,11 +128,21 @@ class Synthesizer:
     def synthesize_ids(self, seq: np.ndarray):
         """phoneme IDs → (wav f32 np.ndarray trimmed, mel_len, duration)."""
         phoneme, pad_mask, bucket = self._pad_to_bucket(seq)
-        predict = self._get_program(bucket)
-        wav, wav_len, mel_len, duration = predict(self.params, phoneme, pad_mask)
-        wav_len = int(jax.device_get(wav_len)[0])
+        acoustic = self._get_acoustic(bucket)
+        mel, mel_len_arr, duration = acoustic(
+            self.params["phoneme2mel"], phoneme, pad_mask)
+        mel_len = int(jax.device_get(mel_len_arr)[0])
+        mel_len = min(mel_len, mel.shape[1])
+
+        chunk = self.VOCODER_CHUNK
+        n_chunks = self._chunk_bucket(max(1, -(-mel_len // chunk)))
+        slice_len = min(n_chunks * chunk, mel.shape[1])
+        vocode = self._get_vocoder(slice_len)
+        mel_in = jax.lax.slice_in_dim(mel, 0, slice_len, axis=1)
+        wav = vocode(self.params["hifigan"], mel_in, mel_len_arr)
+        wav_len = mel_len * self.hifigan_cfg.total_upsample
         wav = np.asarray(jax.device_get(wav[0, :wav_len]), dtype=np.float32)
-        return wav, int(jax.device_get(mel_len)[0]), np.asarray(duration)
+        return wav, mel_len, np.asarray(duration)
 
     def tts(self, text: str, verbose: bool = False):
         """Full text→wav; returns (wav, info dict with stage timings + RTF)
@@ -130,13 +174,13 @@ class Synthesizer:
         return wav, mel_len, duration
 
     def warmup(self, text: str, iters: int = 10):
+        """Compile + warm both pipeline programs for this text's buckets
+        (reference warms 10 iterations, demo.py:151)."""
         seq = self.phonemize(text)
-        phoneme, pad_mask, bucket = self._pad_to_bucket(seq)
-        predict = self._get_program(bucket)
+        wav = None
         for _ in range(iters):
-            out = predict(self.params, phoneme, pad_mask)
-        jax.block_until_ready(out)
-        return bucket
+            wav, _, _ = self.synthesize_ids(seq)
+        return len(seq)
 
 
 def build_synthesizer(preset: str = "tiny",

@@ -21,6 +21,10 @@ class EfficientSpeech(nn.Module):
     cfg: ModelConfig
     hifigan_cfg: HifiGanConfig
     ref_pad_semantics: bool = False
+    # fold the vocoder's time axis into batch chunks of this many mel frames
+    # (exact; see models.hifigan.vocode_chunked).  None = single full-length
+    # conv stack.
+    vocoder_chunk_frames: int = 128
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -51,11 +55,18 @@ class EfficientSpeech(nn.Module):
         """
         pred = self.phoneme2mel(phoneme, pad_mask, train=False)
         mel_len = jnp.minimum(pred["mel_len"], self.cfg.max_mel_len)
-        wav = self.hifigan(pred["mel"], valid_len=mel_len)
+        wav = self.vocode(pred["mel"], mel_len)
         wav_len = mel_len * self.hifigan_cfg.total_upsample
         return wav, wav_len, pred["mel_len"], pred["duration"]
 
     def vocode(self, mel, mel_len=None):
-        """mel (B, T, n_mels) → wav; used for ground-truth reconstruction
-        (reference: model.py:256-264)."""
+        """mel (B, T, n_mels) → wav; used for prediction and ground-truth
+        reconstruction (reference: model.py:256-264)."""
+        chunk = self.vocoder_chunk_frames
+        if chunk is not None and mel.shape[1] > chunk:
+            from efficientspeech_tpu.models.hifigan import chunked_vocoder_call
+
+            return chunked_vocoder_call(
+                lambda c, l, s: self.hifigan(c, valid_len=l, valid_start=s),
+                self.hifigan_cfg.total_upsample, mel, mel_len, chunk)
         return self.hifigan(mel, valid_len=mel_len)

@@ -48,6 +48,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from efficientspeech_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from efficientspeech_tpu.config import (
         HifiGanConfig, ModelConfig, PreprocessConfig, TrainConfig)
     from efficientspeech_tpu.parallel import make_mesh
