@@ -44,10 +44,13 @@ class Synthesizer:
                  preprocess_cfg: Optional[PreprocessConfig] = None,
                  dtype=jnp.bfloat16,
                  phoneme_buckets=DEFAULT_PHONEME_BUCKETS,
-                 mel_expansion: int = MEL_EXPANSION):
+                 mel_expansion: int = MEL_EXPANSION,
+                 vocoder_mode: str = "folded"):
         self.cfg = cfg
         self.hifigan_cfg = hifigan_cfg
         self.params = params
+        self.vocoder_mode = vocoder_mode
+        self._folded_params = None
         self.preprocess_cfg = preprocess_cfg or PreprocessConfig()
         self.dtype = dtype
         self.phoneme_buckets = tuple(phoneme_buckets)
@@ -86,21 +89,47 @@ class Synthesizer:
             self._jitted[("acoustic", bucket)] = fn = acoustic
         return fn
 
-    def _get_vocoder(self, n_chunks: int):
-        fn = self._jitted.get(("vocoder", n_chunks))
+    def _get_vocoder(self, slice_len: int):
+        """Folded (polyphase matmul) vocoder program for a given frame count;
+        set ``vocoder_mode='chunked'`` to use the conv-based chunked path."""
+        key = ("vocoder", self.vocoder_mode, slice_len)
+        fn = self._jitted.get(key)
         if fn is None:
-            gen = HifiGanGenerator(self.hifigan_cfg, dtype=self.dtype)
-            chunk, halo = self.VOCODER_CHUNK, self.VOCODER_HALO
+            if self.vocoder_mode == "folded":
+                from efficientspeech_tpu.models.hifigan_folded import (
+                    folded_generator_apply)
 
-            @jax.jit
-            def vocode(params, mel, mel_len):
-                return chunked_vocoder_call(
-                    lambda c, l, s: gen.apply({"params": params}, c,
-                                              valid_len=l, valid_start=s),
-                    self.hifigan_cfg.total_upsample, mel, mel_len,
-                    chunk_frames=chunk, halo=halo)
+                if self._folded_params is None:
+                    from efficientspeech_tpu.models.hifigan_folded import (
+                        fold_hifigan)
 
-            self._jitted[("vocoder", n_chunks)] = fn = vocode
+                    self._folded_params = jax.tree.map(
+                        lambda x: jnp.asarray(x, self.dtype)
+                        if hasattr(x, "dtype") else x,
+                        fold_hifigan(self.params["hifigan"],
+                                     self.hifigan_cfg))
+                folded = self._folded_params
+                cfg = self.hifigan_cfg
+                dtype = self.dtype
+
+                @jax.jit
+                def vocode(_params, mel, mel_len):
+                    return folded_generator_apply(folded, cfg, mel,
+                                                  valid_len=mel_len,
+                                                  dtype=dtype)
+            else:
+                gen = HifiGanGenerator(self.hifigan_cfg, dtype=self.dtype)
+                chunk, halo = self.VOCODER_CHUNK, self.VOCODER_HALO
+
+                @jax.jit
+                def vocode(params, mel, mel_len):
+                    return chunked_vocoder_call(
+                        lambda c, l, s: gen.apply({"params": params}, c,
+                                                  valid_len=l, valid_start=s),
+                        self.hifigan_cfg.total_upsample, mel, mel_len,
+                        chunk_frames=chunk, halo=halo)
+
+            self._jitted[key] = fn = vocode
         return fn
 
     @staticmethod
@@ -233,9 +262,12 @@ def build_synthesizer(preset: str = "tiny",
         rng = jax.random.PRNGKey(seed)
         dummy_ph = jnp.zeros((1, 32), jnp.int32)
         dummy_mask = jnp.ones((1, 32), bool)
-        params = model.init(rng, dummy_ph, dummy_mask,
-                            method=model.predict)["params"]
-        params = jax.tree.map(np.asarray, params)
+        # jit the init: unjitted flax init executes op-by-op, which is
+        # pathologically slow over a tunneled TPU (hundreds of dispatches)
+        init_fn = jax.jit(
+            lambda r: model.init(r, dummy_ph, dummy_mask,
+                                 method=model.predict)["params"])
+        params = jax.tree.map(np.asarray, init_fn(rng))
         if bench_duration_bias is not None:
             params["phoneme2mel"]["encoder"]["duration_decoder"]["linear"][
                 "bias"] = np.array([bench_duration_bias], np.float32)

@@ -1,0 +1,219 @@
+"""Polyphase-folded HiFi-GAN generator: the whole vocoder as MXU matmuls.
+
+The generator's tail is a ~1M-sample conv stack with 8-64 channels —
+pathological for the TPU MXU/VPU whose lane width is 128 (XLA's conv
+lowering leaves >99% of the lanes idle).  This module re-expresses every
+conv / transposed-conv on the long waveform axis as a dense matmul over
+FRAME-RATE activations in a polyphase ("folded") layout:
+
+    x_folded[t, s*C + c] = x_long[t*r + s, c]        (r samples per frame)
+
+A conv with kernel k / dilation d / stride 1 (or a transposed conv with
+k - 2*pad == stride, which all HiFi-GAN upsamplers satisfy) becomes
+
+    y[t] = concat(x[t-w], ..., x[t+w]) @ W_folded + b_folded
+
+where W_folded ((2w+1)·C_in·r_in, C_out·r_out) is built **exactly** by
+scattering the original weights by index arithmetic (no approximation; unit
+tests check bit-parity vs the reference-parity conv ops).  The matmuls have
+M = frames, N = 512–2048 — near-ideal MXU shapes; XLA fuses the leaky-relu
+and residual epilogues.
+
+Masking is frame-level only (validity boundaries are frame-aligned), which
+preserves the exact edge-padding parity argument of models/hifigan.py.
+"""
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientspeech_tpu.config import HifiGanConfig
+
+LRELU_SLOPE = 0.1
+
+
+# --- exact folded-weight builders (host, numpy) -----------------------------
+
+def fold_conv1d(w_kio: np.ndarray, bias: Optional[np.ndarray], rate: int,
+                dilation: int, padding: int) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Fold a stride-1 conv1d at ``rate`` samples/frame.
+
+    w_kio: (k, C_in, C_out).  Returns (W, b, w) with
+    W ((2w+1)*C_in*rate, C_out*rate), b (C_out*rate,).
+    Index math: out sample o = t*rate + p reads x at s = o - padding + tap*d
+    → frame t + off, phase q.
+    """
+    k, c_in, c_out = w_kio.shape
+    d_in = c_in * rate
+    d_out = c_out * rate
+
+    offs = []
+    for p in range(rate):
+        for tap in range(k):
+            offs.append((p - padding + tap * dilation) // rate)
+    w = max(abs(min(offs)), abs(max(offs)))
+
+    W = np.zeros(((2 * w + 1) * d_in, d_out), np.float32)
+    for p in range(rate):
+        for tap in range(k):
+            s = p - padding + tap * dilation
+            off = s // rate
+            q = s - off * rate
+            # rows: frame (off+w), layout q*C_in + ci ; cols: p*C_out + co
+            row0 = (off + w) * d_in + q * c_in
+            col0 = p * c_out
+            W[row0: row0 + c_in, col0: col0 + c_out] += w_kio[tap]
+    b = (np.tile(bias, rate) if bias is not None
+         else np.zeros(d_out, np.float32)).astype(np.float32)
+    return W, b, w
+
+
+def fold_conv_transpose1d(w_kio: np.ndarray, bias: Optional[np.ndarray],
+                          rate_in: int, stride: int, padding: int
+                          ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Fold a transposed conv (k - 2*pad == stride) from rate_in to
+    rate_in*stride samples/frame.
+
+    w_kio: (k, C_in, C_out) (same layout ops.conv_transpose1d consumes).
+    torch semantics: out[O] += x[J] * w[m] where m = O - s*J + pad ∈ [0, k).
+    """
+    k, c_in, c_out = w_kio.shape
+    rate_out = rate_in * stride
+    d_in = c_in * rate_in
+    d_out = c_out * rate_out
+
+    # enumerate (p, m) pairs with valid J alignment
+    entries = []
+    for p in range(rate_out):
+        for m in range(k):
+            num = p + padding - m
+            if num % stride != 0:
+                continue
+            j = num // stride            # input sample within-frame + offset
+            off = j // rate_in
+            q = j - off * rate_in
+            entries.append((p, m, off, q))
+    w = max(max(abs(e[2]) for e in entries), 0)
+
+    W = np.zeros(((2 * w + 1) * d_in, d_out), np.float32)
+    for p, m, off, q in entries:
+        row0 = (off + w) * d_in + q * c_in
+        col0 = p * c_out
+        W[row0: row0 + c_in, col0: col0 + c_out] += w_kio[m]
+    b = (np.tile(bias, rate_out) if bias is not None
+         else np.zeros(d_out, np.float32)).astype(np.float32)
+    return W, b, w
+
+
+def fold_hifigan(params: Dict, cfg: HifiGanConfig) -> Dict:
+    """HifiGanGenerator params → folded matmul weights (host, one-time)."""
+    assert cfg.resblock == "1", "folded path implements ResBlock1 configs"
+
+    def conv(p):
+        return np.asarray(p["kernel"], np.float32), np.asarray(
+            p.get("bias"), np.float32) if "bias" in p else None
+
+    folded: Dict = {}
+    k_pre = np.asarray(params["conv_pre"]["kernel"], np.float32)
+    b_pre = np.asarray(params["conv_pre"]["bias"], np.float32)
+    folded["pre"] = fold_conv1d(k_pre, b_pre, rate=1, dilation=1, padding=3)
+
+    rate = 1
+    for i, (u, kk) in enumerate(zip(cfg.upsample_rates,
+                                    cfg.upsample_kernel_sizes)):
+        up = params[f"up{i}"]
+        folded[f"up{i}"] = fold_conv_transpose1d(
+            np.asarray(up["kernel"], np.float32),
+            np.asarray(up["bias"], np.float32),
+            rate_in=rate, stride=u, padding=(kk - u) // 2)
+        rate *= u
+        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                         cfg.resblock_dilation_sizes)):
+            rb = params[f"resblock_{i}_{j}"]
+            for m, d in enumerate(rd):
+                folded[f"rb{i}_{j}_c1_{m}"] = fold_conv1d(
+                    np.asarray(rb[f"conv1_{m}"]["kernel"], np.float32),
+                    np.asarray(rb[f"conv1_{m}"]["bias"], np.float32),
+                    rate=rate, dilation=d, padding=(rk * d - d) // 2)
+                folded[f"rb{i}_{j}_c2_{m}"] = fold_conv1d(
+                    np.asarray(rb[f"conv2_{m}"]["kernel"], np.float32),
+                    np.asarray(rb[f"conv2_{m}"]["bias"], np.float32),
+                    rate=rate, dilation=1, padding=(rk - 1) // 2)
+    folded["post"] = fold_conv1d(
+        np.asarray(params["conv_post"]["kernel"], np.float32),
+        np.asarray(params["conv_post"]["bias"], np.float32),
+        rate=rate, dilation=1, padding=3)
+    return folded
+
+
+# --- runtime -----------------------------------------------------------------
+
+def _folded_apply(x: jnp.ndarray, Wbw, dtype) -> jnp.ndarray:
+    """x (B, T, D_in) → (B, T, D_out) via windowed matmul."""
+    W, b, w = Wbw
+    W = jnp.asarray(W, dtype)
+    b = jnp.asarray(b, dtype)
+    if w == 0:
+        window = x
+    else:
+        t = x.shape[1]
+        xp = jnp.pad(x, ((0, 0), (w, w), (0, 0)))
+        window = jnp.concatenate(
+            [xp[:, i: i + t, :] for i in range(2 * w + 1)], axis=-1)
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    return jnp.dot(window, W, preferred_element_type=dtype,
+                   precision=precision) + b
+
+
+def _mask_frames(x: jnp.ndarray, valid: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if valid is None:
+        return x
+    t = x.shape[1]
+    keep = jnp.arange(t, dtype=jnp.int32)[None, :] < valid[:, None]
+    return jnp.where(keep[:, :, None], x, 0.0)
+
+
+def leaky(x, slope):
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def folded_generator_apply(folded: Dict, cfg: HifiGanConfig,
+                           mel: jnp.ndarray,
+                           valid_len: Optional[jnp.ndarray] = None,
+                           dtype=jnp.bfloat16) -> jnp.ndarray:
+    """mel (B, T, num_mels) → wav (B, T * total_upsample).
+
+    Exactly equivalent to HifiGanGenerator.__call__ with frame-level
+    masking (valid boundaries are frame-aligned).
+    """
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    x = mel.astype(dtype)
+    x = _folded_apply(x, folded["pre"], dtype)
+    x = _mask_frames(x, valid_len)
+
+    for i in range(len(cfg.upsample_rates)):
+        x = leaky(x, LRELU_SLOPE)
+        x = _folded_apply(x, folded[f"up{i}"], dtype)
+        x = _mask_frames(x, valid_len)
+        xs = None
+        for j, rd in enumerate(cfg.resblock_dilation_sizes):
+            v = x
+            for m in range(len(rd)):
+                t1 = leaky(v, LRELU_SLOPE)
+                t1 = _folded_apply(t1, folded[f"rb{i}_{j}_c1_{m}"], dtype)
+                t1 = _mask_frames(t1, valid_len)
+                t1 = leaky(t1, LRELU_SLOPE)
+                t1 = _folded_apply(t1, folded[f"rb{i}_{j}_c2_{m}"], dtype)
+                t1 = _mask_frames(t1, valid_len)
+                v = t1 + v
+            xs = v if xs is None else xs + v
+        x = xs / num_kernels
+
+    x = leaky(x, 0.01)  # torch default slope (reference: hifigan/models.py:121)
+    x = _folded_apply(x, folded["post"], dtype)
+    x = _mask_frames(x, valid_len)
+    x = jnp.tanh(x)
+    b, t, d = x.shape
+    return x.reshape(b, t * d)

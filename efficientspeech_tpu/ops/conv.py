@@ -30,7 +30,27 @@ def conv1d(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray] = No
 
     Output length = floor((T + 2*padding - dilation*(k-1) - 1)/stride) + 1,
     identical to torch.
+
+    Depthwise (groups == C_in == C_out) stride-1 convs take a
+    shift-and-multiply-accumulate path: k elementwise FMAs over (T, C)
+    fully occupy the VPU lanes, where XLA's grouped-conv lowering does not.
     """
+    k = kernel.shape[0]
+    c_in = x.shape[-1]
+    if (groups == c_in and kernel.shape[1] == 1 and kernel.shape[2] == c_in
+            and stride == 1):
+        xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+        t_out = xp.shape[1] - dilation * (k - 1)
+        kd = kernel[:, 0, :].astype(x.dtype)        # (k, C)
+        out = None
+        for tap in range(k):
+            seg = jax.lax.dynamic_slice_in_dim(xp, tap * dilation, t_out, 1)
+            term = seg * kd[tap]
+            out = term if out is None else out + term
+        if bias is not None:
+            out = out + bias.astype(x.dtype)
+        return out
+
     out = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype),
         window_strides=(stride,),

@@ -115,11 +115,11 @@ class Trainer:
             "scalar": jnp.zeros((b, n), jnp.float32),
             "dur": jnp.ones((b, n), jnp.int32),
         }
-        return self.model.init(
-            jax.random.PRNGKey(self.train_cfg.seed), dummy["phoneme"],
-            dummy["mask"], pitch_target=dummy["scalar"],
+        init_fn = jax.jit(lambda r: self.model.init(
+            r, dummy["phoneme"], dummy["mask"], pitch_target=dummy["scalar"],
             energy_target=dummy["scalar"], duration_target=dummy["dur"],
-            train=True)["params"]
+            train=True)["params"])
+        return init_fn(jax.random.PRNGKey(self.train_cfg.seed))
 
     def maybe_resume(self) -> int:
         path = latest_checkpoint(self.train_cfg.checkpoint_dir)

@@ -1,0 +1,120 @@
+"""Folded (polyphase matmul) vocoder vs the conv-based generator:
+exact weight folding and end-to-end equivalence."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from efficientspeech_tpu.config import HifiGanConfig
+from efficientspeech_tpu.models.hifigan import HifiGanGenerator
+from efficientspeech_tpu.models.hifigan_folded import (
+    fold_conv1d,
+    fold_conv_transpose1d,
+    fold_hifigan,
+    folded_generator_apply,
+    _folded_apply,
+)
+from efficientspeech_tpu.ops.conv import conv1d, conv_transpose1d
+
+
+def _fold_run(x_long, W, b, w, rate_in, rate_out):
+    """apply folded op to a long (B, L, C) signal."""
+    bsz, L, c = x_long.shape
+    t = L // rate_in
+    x_f = x_long.reshape(bsz, t, rate_in * c)
+    y_f = _folded_apply(x_f, (W, b, w), jnp.float32)
+    d_out = y_f.shape[-1]
+    c_out = d_out // rate_out
+    return y_f.reshape(bsz, t * rate_out, c_out)
+
+
+@pytest.mark.parametrize("rate,k,d,cin,cout", [
+    (1, 7, 1, 80, 32),
+    (8, 3, 1, 16, 16),
+    (8, 11, 5, 16, 16),
+    (64, 7, 3, 8, 8),
+])
+def test_fold_conv1d_exact(rate, k, d, cin, cout):
+    rng = np.random.default_rng(0)
+    w_kio = rng.standard_normal((k, cin, cout)).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    t = 6
+    x = rng.standard_normal((2, t * rate, cin)).astype(np.float32)
+
+    pad = (k * d - d) // 2
+    ref = conv1d(jnp.asarray(x), jnp.asarray(w_kio), jnp.asarray(bias),
+                 padding=pad, dilation=d)
+    W, b, w = fold_conv1d(w_kio, bias, rate, d, pad)
+    got = _fold_run(jnp.asarray(x), W, b, w, rate, rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("rate_in,k,s,cin,cout", [
+    (1, 16, 8, 12, 8),
+    (8, 16, 8, 8, 8),
+    (64, 4, 2, 8, 4),
+])
+def test_fold_conv_transpose1d_exact(rate_in, k, s, cin, cout):
+    rng = np.random.default_rng(1)
+    w_kio = rng.standard_normal((k, cin, cout)).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    t = 5
+    x = rng.standard_normal((1, t * rate_in, cin)).astype(np.float32)
+    pad = (k - s) // 2
+
+    ref = conv_transpose1d(jnp.asarray(x), jnp.asarray(w_kio),
+                           jnp.asarray(bias), stride=s, padding=pad)
+    W, b, w = fold_conv_transpose1d(w_kio, bias, rate_in, s, pad)
+    got = _fold_run(jnp.asarray(x), W, b, w, rate_in, rate_in * s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+REFERENCE_CKPT = "/root/reference/hifigan/LJ_V2/generator_v2"
+
+
+def test_folded_generator_matches_conv_generator():
+    cfg = HifiGanConfig(upsample_initial_channel=32)  # small for CPU speed
+    gen = HifiGanGenerator(cfg)
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 80)))["params"]
+    folded = fold_hifigan(jax.tree.map(np.asarray, params), cfg)
+
+    rng = np.random.default_rng(2)
+    t, valid = 24, 17
+    mel = rng.normal(-3, 2, size=(1, t, 80)).astype(np.float32)
+    mel[0, valid:] = 0
+    vl = jnp.asarray([valid])
+
+    ref = gen.apply({"params": params}, jnp.asarray(mel), valid_len=vl)
+    got = folded_generator_apply(folded, cfg, jnp.asarray(mel), vl,
+                                 dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(not os.path.isfile(REFERENCE_CKPT),
+                    reason="bundled weights absent")
+def test_folded_generator_real_weights():
+    from efficientspeech_tpu.convert import load_hifigan_checkpoint
+
+    cfg = HifiGanConfig()
+    params = load_hifigan_checkpoint(REFERENCE_CKPT)
+    gen = HifiGanGenerator(cfg)
+    folded = fold_hifigan(params, cfg)
+
+    rng = np.random.default_rng(3)
+    t, valid = 16, 13
+    mel = rng.normal(-3, 2, size=(1, t, 80)).astype(np.float32)
+    mel[0, valid:] = 0
+    vl = jnp.asarray([valid])
+
+    ref = gen.apply({"params": params}, jnp.asarray(mel), valid_len=vl)
+    got = folded_generator_apply(folded, cfg, jnp.asarray(mel), vl,
+                                 dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
