@@ -182,14 +182,56 @@ def leaky(x, slope):
 def folded_generator_apply(folded: Dict, cfg: HifiGanConfig,
                            mel: jnp.ndarray,
                            valid_len: Optional[jnp.ndarray] = None,
-                           dtype=jnp.bfloat16) -> jnp.ndarray:
+                           dtype=jnp.bfloat16,
+                           use_pallas: bool = False,
+                           interpret: bool = False) -> jnp.ndarray:
     """mel (B, T, num_mels) → wav (B, T * total_upsample).
 
     Exactly equivalent to HifiGanGenerator.__call__ with frame-level
     masking (valid boundaries are frame-aligned).
+
+    use_pallas: run each folded matmul through the fused Pallas kernel
+    (ops/pallas/folded_matmul.py) — pre-activation, bias, residual, and
+    tail masking fused into the matmul epilogue; B must be 1.
     """
     num_kernels = len(cfg.resblock_kernel_sizes)
     x = mel.astype(dtype)
+
+    if use_pallas:
+        from efficientspeech_tpu.ops.pallas.folded_matmul import folded_matmul
+
+        assert x.shape[0] == 1, "pallas folded path is single-utterance"
+        t_frames = x.shape[1]
+        vl = (jnp.asarray(valid_len, jnp.int32).reshape(())
+              if valid_len is not None else jnp.int32(t_frames))
+
+        def apply_op(inp, key, pre_lrelu, slope=LRELU_SLOPE, residual=None):
+            W, b, w = folded[key]
+            out = folded_matmul(inp[0], jnp.asarray(W, dtype),
+                                jnp.asarray(b, dtype), w, vl,
+                                residual=None if residual is None
+                                else residual[0],
+                                pre_lrelu=pre_lrelu, lrelu_slope=slope,
+                                interpret=interpret)
+            return out[None]
+
+        x = apply_op(x, "pre", pre_lrelu=False)
+        for i in range(len(cfg.upsample_rates)):
+            x = apply_op(x, f"up{i}", pre_lrelu=True)
+            xs = None
+            for j, rd in enumerate(cfg.resblock_dilation_sizes):
+                v = x
+                for m in range(len(rd)):
+                    t1 = apply_op(v, f"rb{i}_{j}_c1_{m}", pre_lrelu=True)
+                    v = apply_op(t1, f"rb{i}_{j}_c2_{m}", pre_lrelu=True,
+                                 residual=v)
+                xs = v if xs is None else xs + v
+            x = xs / num_kernels
+        x = apply_op(x, "post", pre_lrelu=True, slope=0.01)
+        x = jnp.tanh(x)
+        b_, t_, d_ = x.shape
+        return x.reshape(b_, t_ * d_)
+
     x = _folded_apply(x, folded["pre"], dtype)
     x = _mask_frames(x, valid_len)
 

@@ -1,0 +1,135 @@
+"""Pallas TPU kernel: fused windowed matmul for the folded vocoder.
+
+The folded vocoder applies ``y[t] = concat(x[t-w..t+w]) @ W + b`` per frame
+(models/hifigan_folded.py).  The XLA formulation materializes the
+(2w+1)-wide window concat in HBM — (2w+1)× activation traffic.  This kernel
+reads each x tile ONCE (with halo rows, via manual DMA from HBM into VMEM
+scratch), accumulates the 2w+1 partial dots on the MXU, and fuses the
+epilogue:
+
+    pre-activation : leaky_relu on the input (recomputed on halo rows),
+    bias           : + b,
+    residual       : + res tile (optional),
+    tail masking   : frame rows >= valid_len → 0 (scalar-prefetched),
+
+eliminating the window concat plus four elementwise HBM round trips per
+conv of the resblock chain.
+
+Grid: (T/TM, D_out/TN); x is pre-padded by w rows on each side so halo DMAs
+stay in bounds.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.1
+
+
+def _make_kernel(n_win, tm, d_in, pre_lrelu, has_residual, out_dtype,
+                 lrelu_slope=LRELU_SLOPE):
+    def kernel(valid_ref, x_hbm, w_ref, b_ref, *rest):
+        if has_residual:
+            res_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
+        i = pl.program_id(0)
+
+        def body(xs_ref, sem):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * tm, tm + n_win - 1), :], xs_ref, sem)
+            cp.start()
+            cp.wait()
+
+            acc = jnp.zeros((tm, o_ref.shape[1]), jnp.float32)
+            for j in range(n_win):
+                xs = xs_ref[j: j + tm, :]
+                if pre_lrelu:
+                    xs = jnp.where(xs >= 0, xs, xs * lrelu_slope)
+                acc += jnp.dot(xs, w_ref[j * d_in: (j + 1) * d_in, :],
+                               preferred_element_type=jnp.float32)
+            acc += b_ref[0, :].astype(jnp.float32)
+            if has_residual:
+                acc += res_ref[:].astype(jnp.float32)
+
+            valid = valid_ref[0]
+            rows = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0) + i * tm
+            acc = jnp.where(rows < valid, acc, 0.0)
+            o_ref[:] = acc.astype(out_dtype)
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((tm + n_win - 1, d_in), x_hbm.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        )
+
+    return kernel
+
+
+def folded_matmul(x: jnp.ndarray, W: jnp.ndarray, b: jnp.ndarray, w: int,
+                  valid_len: jnp.ndarray,
+                  residual: Optional[jnp.ndarray] = None,
+                  pre_lrelu: bool = False,
+                  lrelu_slope: float = LRELU_SLOPE,
+                  tm: int = 256, tn: int = 1024,
+                  interpret: bool = False) -> jnp.ndarray:
+    """x (T, D_in) frame-rate activations → (T, D_out).
+
+    W ((2w+1)*D_in, D_out), b (D_out,), valid_len scalar int32.
+    residual: optional (T, D_out) added before masking.
+    """
+    t, d_in = x.shape
+    d_out = W.shape[1]
+    n_win = 2 * w + 1
+    assert W.shape[0] == n_win * d_in, (W.shape, n_win, d_in)
+
+    tm = min(tm, t)
+    tn = min(tn, d_out)
+    grid_t = -(-t // tm)
+    grid_n = -(-d_out // tn)
+    t_pad = grid_t * tm
+
+    xp = jnp.pad(x, ((w, t_pad - t + w), (0, 0)))
+    b2 = b.reshape(1, d_out).astype(x.dtype)
+    valid = jnp.asarray(valid_len, jnp.int32).reshape(1)
+    W = W.astype(x.dtype)
+
+    has_res = residual is not None
+    if has_res and t_pad != t:
+        residual = jnp.pad(residual, ((0, t_pad - t), (0, 0)))
+
+    kernel = _make_kernel(n_win, tm, d_in, pre_lrelu, has_res, x.dtype,
+                          lrelu_slope=lrelu_slope)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),                # x (HBM, DMA'd)
+        pl.BlockSpec((n_win * d_in, tn), lambda i, j, *_: (0, j),
+                     memory_space=pltpu.VMEM),               # W column tile
+        pl.BlockSpec((1, tn), lambda i, j, *_: (0, j),
+                     memory_space=pltpu.VMEM),               # bias tile
+    ]
+    args = [xp, W, b2]
+    if has_res:
+        in_specs.append(pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(residual.astype(x.dtype))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid_t, grid_n),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t_pad, d_out), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(valid, *args)
+    return out[:t]
