@@ -95,7 +95,7 @@ class Synthesizer:
         key = ("vocoder", self.vocoder_mode, slice_len)
         fn = self._jitted.get(key)
         if fn is None:
-            if self.vocoder_mode == "folded":
+            if self.vocoder_mode in ("folded", "folded_pallas"):
                 from efficientspeech_tpu.models.hifigan_folded import (
                     folded_generator_apply)
 
@@ -103,20 +103,38 @@ class Synthesizer:
                     from efficientspeech_tpu.models.hifigan_folded import (
                         fold_hifigan)
 
-                    self._folded_params = jax.tree.map(
-                        lambda x: jnp.asarray(x, self.dtype)
-                        if hasattr(x, "dtype") else x,
-                        fold_hifigan(self.params["hifigan"],
-                                     self.hifigan_cfg))
-                folded = self._folded_params
+                    # device-resident pytree, passed as a jit ARGUMENT
+                    # (closure capture would bake ~0.5 GB of constants into
+                    # the HLO)
+                    folded = fold_hifigan(self.params["hifigan"],
+                                          self.hifigan_cfg)
+                    self._folded_params = {
+                        k: (jax.device_put(jnp.asarray(W, self.dtype)),
+                            jax.device_put(jnp.asarray(b, self.dtype)), w)
+                        for k, (W, b, w) in folded.items()
+                    }
                 cfg = self.hifigan_cfg
                 dtype = self.dtype
+                use_pallas = self.vocoder_mode == "folded_pallas"
+                # window sizes are static metadata for the jitted fn
+                widths = {k: v[2] for k, v in self._folded_params.items()}
 
-                @jax.jit
-                def vocode(_params, mel, mel_len):
-                    return folded_generator_apply(folded, cfg, mel,
+                @partial(jax.jit, static_argnums=(3,))
+                def vocode_impl(arrays, mel, mel_len, widths_key):
+                    folded_full = {k: (arrays[k][0], arrays[k][1],
+                                       dict(widths_key)[k])
+                                   for k in arrays}
+                    return folded_generator_apply(folded_full, cfg, mel,
                                                   valid_len=mel_len,
-                                                  dtype=dtype)
+                                                  dtype=dtype,
+                                                  use_pallas=use_pallas)
+
+                arrays = {k: (W, b) for k, (W, b, _) in
+                          self._folded_params.items()}
+                widths_key = tuple(sorted(widths.items()))
+
+                def vocode(_params, mel, mel_len):
+                    return vocode_impl(arrays, mel, mel_len, widths_key)
             else:
                 gen = HifiGanGenerator(self.hifigan_cfg, dtype=self.dtype)
                 chunk, halo = self.VOCODER_CHUNK, self.VOCODER_HALO

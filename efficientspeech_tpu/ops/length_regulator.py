@@ -41,9 +41,12 @@ def length_regulate(features: jnp.ndarray, durations: jnp.ndarray,
     mel_len = cum[:, -1]                                    # (B,)
 
     frame_pos = jnp.arange(max_mel_len, dtype=jnp.int32)    # (M,)
-    # per-sample binary search: frame f → phoneme index
+    # frame f → phoneme index: number of cumsum entries <= f.  compare_all
+    # (one (M, N) comparison + reduction) vectorizes on the VPU, unlike the
+    # default scan-based binary search which serializes log2(N) gathers.
     idx = jax.vmap(
-        lambda c: jnp.searchsorted(c, frame_pos, side="right")
+        lambda c: jnp.searchsorted(c, frame_pos, side="right",
+                                   method="compare_all")
     )(cum)                                                  # (B, M)
     idx = jnp.minimum(idx, features.shape[1] - 1)
 
