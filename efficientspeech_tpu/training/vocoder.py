@@ -1,0 +1,130 @@
+"""HiFi-GAN vocoder (fine-)training: generator + MPD/MSD adversarial steps.
+
+The reference ships the discriminators and GAN losses but never trains its
+vocoder (reference: hifigan/models.py:137-291 is dead code there).  This
+module makes them operational: standard HiFi-GAN training objective
+(LSGAN adversarial + feature matching + 45·mel L1), jittable on a mesh
+like the acoustic trainer.
+
+Optimizer settings follow the bundled config (hifigan/LJ_V2/config.json):
+AdamW(2e-4, β=(0.8, 0.99)) with 0.999 per-epoch lr decay.
+"""
+
+from typing import Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from efficientspeech_tpu.audio.mel import mel_filterbank
+from efficientspeech_tpu.audio.stft import stft_magnitude
+from efficientspeech_tpu.config import AudioConfig, HifiGanConfig
+from efficientspeech_tpu.models.hifigan import HifiGanGenerator
+from efficientspeech_tpu.models.hifigan_disc import (
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+)
+
+
+@flax.struct.dataclass
+class VocoderTrainState:
+    step: jnp.ndarray
+    gen_params: Dict
+    gen_opt: Dict
+    mpd_params: Dict
+    msd_params: Dict
+    disc_opt: Dict
+
+
+def make_mel_fn(audio: AudioConfig):
+    basis = jnp.asarray(mel_filterbank(
+        audio.sampling_rate, audio.filter_length, audio.n_mel_channels,
+        audio.mel_fmin, audio.mel_fmax))
+
+    def mel_of(wav):
+        mag = stft_magnitude(wav, audio.filter_length, audio.hop_length,
+                             audio.win_length)
+        m = jnp.einsum("mf,btf->btm", basis, mag)
+        return jnp.log(jnp.clip(m, min=1e-5))
+
+    return mel_of
+
+
+def create_vocoder_trainer(cfg: HifiGanConfig, audio: AudioConfig,
+                           lr: float = 2e-4, b1: float = 0.8,
+                           b2: float = 0.99, mel_weight: float = 45.0,
+                           fm_weight: float = 2.0):
+    gen = HifiGanGenerator(cfg)
+    mpd = MultiPeriodDiscriminator()
+    msd = MultiScaleDiscriminator()
+    mel_of = make_mel_fn(audio)
+
+    gen_tx = optax.adamw(lr, b1=b1, b2=b2)
+    disc_tx = optax.adamw(lr, b1=b1, b2=b2)
+
+    def init(rng, gen_params, segment: int = 8192):
+        wav = jnp.zeros((1, segment))
+        r1, r2 = jax.random.split(rng)
+        mpd_params = mpd.init(r1, wav, wav)["params"]
+        msd_params = msd.init(r2, wav, wav)["params"]
+        return VocoderTrainState(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_params,
+            gen_opt=gen_tx.init(gen_params),
+            mpd_params=mpd_params,
+            msd_params=msd_params,
+            disc_opt=disc_tx.init({"mpd": mpd_params, "msd": msd_params}),
+        )
+
+    def disc_loss_fn(disc_params, gen_params, mel, wav):
+        y_hat = gen.apply({"params": gen_params}, mel)
+        y_hat = jax.lax.stop_gradient(y_hat)
+        p_r, p_g, _, _ = mpd.apply({"params": disc_params["mpd"]}, wav, y_hat)
+        s_r, s_g, _, _ = msd.apply({"params": disc_params["msd"]}, wav, y_hat)
+        loss_p, _, _ = discriminator_loss(p_r, p_g)
+        loss_s, _, _ = discriminator_loss(s_r, s_g)
+        return loss_p + loss_s
+
+    def gen_loss_fn(gen_params, disc_params, mel, wav):
+        y_hat = gen.apply({"params": gen_params}, mel)
+        mel_hat = mel_of(y_hat)
+        mel_ref = mel_of(wav)
+        mel_l1 = jnp.mean(jnp.abs(mel_hat - mel_ref))
+        p_r, p_g, p_fr, p_fg = mpd.apply({"params": disc_params["mpd"]},
+                                         wav, y_hat)
+        s_r, s_g, s_fr, s_fg = msd.apply({"params": disc_params["msd"]},
+                                         wav, y_hat)
+        adv_p, _ = generator_loss(p_g)
+        adv_s, _ = generator_loss(s_g)
+        fm = feature_loss(p_fr, p_fg) + feature_loss(s_fr, s_fg)
+        total = adv_p + adv_s + fm_weight * fm + mel_weight * mel_l1
+        return total, {"mel_l1": mel_l1, "adv": adv_p + adv_s, "fm": fm}
+
+    @jax.jit
+    def train_step(state: VocoderTrainState, mel, wav
+                   ) -> Tuple[VocoderTrainState, Dict]:
+        disc_params = {"mpd": state.mpd_params, "msd": state.msd_params}
+        d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(
+            disc_params, state.gen_params, mel, wav)
+        d_updates, disc_opt = disc_tx.update(d_grads, state.disc_opt,
+                                             disc_params)
+        disc_params = optax.apply_updates(disc_params, d_updates)
+
+        (g_loss, aux), g_grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.gen_params, disc_params, mel, wav)
+        g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt,
+                                           state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        new_state = VocoderTrainState(
+            step=state.step + 1, gen_params=gen_params, gen_opt=gen_opt,
+            mpd_params=disc_params["mpd"], msd_params=disc_params["msd"],
+            disc_opt=disc_opt)
+        metrics = {"disc_loss": d_loss, "gen_loss": g_loss, **aux}
+        return new_state, metrics
+
+    return gen, init, train_step

@@ -1,0 +1,46 @@
+"""Trainer.fit smoke on the synthetic corpus: two steps, metrics logged,
+checkpoint written, resume works."""
+
+import json
+import os
+
+import pytest
+
+from conftest import mini_corpus, preprocessed_corpus  # noqa: F401
+
+
+def test_trainer_fit_and_resume(preprocessed_corpus, tmp_path):
+    import jax.numpy as jnp
+
+    from efficientspeech_tpu.config import ModelConfig, TrainConfig
+    from efficientspeech_tpu.parallel import make_mesh
+    from efficientspeech_tpu.training.loop import Trainer
+
+    stats = json.load(open(os.path.join(
+        preprocessed_corpus.preprocessed_path, "stats.json")))
+    model_cfg = ModelConfig.preset(
+        "tiny", pitch_stats=tuple(stats["pitch"][:2]),
+        energy_stats=tuple(stats["energy"][:2]),
+        max_phoneme_len=32, max_mel_len=256)
+    train_cfg = TrainConfig(
+        batch_size=2, max_epochs=2, warmup_epochs=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        wav_path=str(tmp_path / "wavs"))
+
+    mesh = make_mesh(data_parallel=2, model_parallel=1)
+    trainer = Trainer(model_cfg, train_cfg, preprocessed_corpus,
+                      dtype=jnp.float32, mesh=mesh)
+    final_step = trainer.fit(max_epochs=2)
+    assert final_step == 2 * trainer.steps_per_epoch
+
+    metrics_path = os.path.join(train_cfg.log_dir, "metrics.jsonl")
+    lines = [json.loads(l) for l in open(metrics_path)]
+    assert len(lines) >= 2
+    assert "mel" in lines[-1] and "lr" in lines[-1]
+
+    # resume: new trainer picks up the checkpoint
+    trainer2 = Trainer(model_cfg, train_cfg, preprocessed_corpus,
+                       dtype=jnp.float32, mesh=mesh)
+    resumed = trainer2.maybe_resume()
+    assert resumed == final_step
