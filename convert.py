@@ -39,7 +39,6 @@ def main():
 
     enable_compilation_cache()
 
-    from efficientspeech_tpu.config import HifiGanConfig, ModelConfig
     from efficientspeech_tpu.infer import build_synthesizer
 
     synth = build_synthesizer(

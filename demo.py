@@ -13,7 +13,6 @@ orbax checkpoint directories.
 
 import argparse
 import os
-import time
 
 
 def get_args():

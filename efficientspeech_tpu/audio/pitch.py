@@ -17,7 +17,7 @@ won't be bit-identical to a pyworld-built dataset.
 
 import ctypes
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

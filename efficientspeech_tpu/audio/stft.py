@@ -8,7 +8,6 @@ strided gather + an rfft maps far better onto TPU than a 1024-tap conv with
 a 1026-row Fourier basis.
 """
 
-import functools
 from typing import Optional, Tuple
 
 import jax

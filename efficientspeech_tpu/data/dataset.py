@@ -18,7 +18,7 @@ frame rate, plus text for validation dumps.
 import os
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 

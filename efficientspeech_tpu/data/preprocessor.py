@@ -18,7 +18,7 @@ swapped between the two frameworks:
 import json
 import os
 import random
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -17,7 +17,6 @@ layers/blocks.py:8-71) with TPU-native semantics:
 Activations are (B, T, C) channels-last.
 """
 
-import math
 from typing import Optional, Tuple
 
 import flax.linen as nn

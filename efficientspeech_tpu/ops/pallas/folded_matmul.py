@@ -19,7 +19,6 @@ Grid: (T/TM, D_out/TN); x is pre-padded by w rows on each side so halo DMAs
 stay in bounds.
 """
 
-import functools
 from typing import Optional
 
 import jax

@@ -11,7 +11,7 @@ character level, same as the reference (reference: synthesize.py:44-45).
 
 import re
 from string import punctuation
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 

@@ -147,8 +147,6 @@ class Trainer:
         if vocode is None:
             return
         batch = next(iter(self.val_loader))
-        import dataclasses
-
         infer_model = Phoneme2Mel(self.model_cfg, dtype=self.dtype)
         pred = infer_model.apply(
             {"params": jax.device_get(self.state.params)["phoneme2mel"]},

@@ -11,7 +11,7 @@ requires_grad=False, reference: model.py:43-46): the optimizer only sees
 ``phoneme2mel``.
 """
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.struct
 import jax

@@ -12,8 +12,6 @@ them, responses stream 16-bit WAV.
 """
 
 import argparse
-import io
-import json
 import struct
 import threading
 import time
