@@ -277,34 +277,15 @@ def build_synthesizer(preset: str = "tiny",
 
         params = restore_params(checkpoint)
     else:
-        # host-side init: eval_shape (pure tracing, zero device work) +
-        # numpy materialization.  Compiling an init program over a tunneled
-        # TPU costs minutes; random-weight synthesis doesn't need the exact
-        # torch init distribution.
+        # host-side init: zero device work (see utils/host_init.py)
+        from efficientspeech_tpu.utils.host_init import host_init
+
         rng = jax.random.PRNGKey(seed)
         dummy_ph = jnp.zeros((1, 32), jnp.int32)
         dummy_mask = jnp.ones((1, 32), bool)
-        shapes = jax.eval_shape(
-            lambda r: model.init(r, dummy_ph, dummy_mask,
-                                 method=model.predict)["params"], rng)
-        host_rng = np.random.default_rng(seed)
-
-        def materialize(path, leaf):
-            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-            shape, dtype = leaf.shape, leaf.dtype
-            if name == "scale":
-                return np.ones(shape, dtype)
-            if name == "bias":
-                return np.zeros(shape, dtype)
-            if name == "embedding":
-                return host_rng.normal(0, 1, shape).astype(dtype)
-            fan_in = (shape[0] if len(shape) == 2
-                      else int(np.prod(shape[:-1])) if len(shape) >= 2
-                      else max(shape[0], 1))
-            bound = 1.0 / np.sqrt(max(fan_in, 1))
-            return host_rng.uniform(-bound, bound, shape).astype(dtype)
-
-        params = jax.tree_util.tree_map_with_path(materialize, shapes)
+        params = host_init(
+            lambda: model.init(rng, dummy_ph, dummy_mask,
+                               method=model.predict)["params"], seed=seed)
         if bench_duration_bias is not None:
             params["phoneme2mel"]["encoder"]["duration_decoder"]["linear"][
                 "bias"] = np.array([bench_duration_bias], np.float32)
