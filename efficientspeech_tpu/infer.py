@@ -124,10 +124,15 @@ class Synthesizer:
                     folded_full = {k: (arrays[k][0], arrays[k][1],
                                        dict(widths_key)[k])
                                    for k in arrays}
-                    return folded_generator_apply(folded_full, cfg, mel,
-                                                  valid_len=mel_len,
-                                                  dtype=dtype,
-                                                  use_pallas=use_pallas)
+                    wav = folded_generator_apply(folded_full, cfg, mel,
+                                                 valid_len=mel_len,
+                                                 dtype=dtype,
+                                                 use_pallas=use_pallas)
+                    # 16-bit PCM on device: halves the device→host transfer
+                    # (int16 is the final wav format anyway)
+                    pcm = jnp.clip(wav.astype(jnp.float32) * 32768.0,
+                                   -32768.0, 32767.0).astype(jnp.int16)
+                    return pcm
 
                 arrays = {k: (W, b) for k, (W, b, _) in
                           self._folded_params.items()}
@@ -188,8 +193,13 @@ class Synthesizer:
         mel_in = jax.lax.slice_in_dim(mel, 0, slice_len, axis=1)
         wav = vocode(self.params["hifigan"], mel_in, mel_len_arr)
         wav_len = mel_len * self.hifigan_cfg.total_upsample
-        wav = np.asarray(jax.device_get(wav[0, :wav_len]), dtype=np.float32)
-        return wav, mel_len, np.asarray(duration)
+        wav = jax.device_get(wav[0, :wav_len])
+        if wav.dtype == np.int16:
+            wav = wav.astype(np.float32) / 32768.0
+        else:
+            wav = np.asarray(wav, np.float32)
+        # duration stays on device; fetching it would cost a round trip
+        return wav, mel_len, duration
 
     def tts(self, text: str, verbose: bool = False):
         """Full text→wav; returns (wav, info dict with stage timings + RTF)
