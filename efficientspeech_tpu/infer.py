@@ -230,6 +230,46 @@ class Synthesizer:
         wav, mel_len, duration = self.synthesize_ids(seq)
         return wav, mel_len, duration
 
+    def tts_batch(self, texts):
+        """Batched synthesis (serving throughput): all texts share one
+        acoustic program (common phoneme bucket) and one vocoder dispatch.
+        Returns a list of (wav float32, info)."""
+        seqs = [self.phonemize(t) for t in texts]
+        b = len(seqs)
+        bucket = next_bucket(max(len(s) for s in seqs), self.phoneme_buckets)
+        phoneme = np.zeros((b, bucket), np.int32)
+        pad_mask = np.ones((b, bucket), bool)
+        for i, s in enumerate(seqs):
+            n = min(len(s), bucket)
+            phoneme[i, :n] = s[:n]
+            pad_mask[i, :n] = False
+
+        t0 = time.time()
+        acoustic = self._get_acoustic(bucket)
+        mel, mel_len_arr, _ = acoustic(self.params["phoneme2mel"],
+                                       phoneme, pad_mask)
+        mel_lens = np.minimum(np.asarray(jax.device_get(mel_len_arr)),
+                              mel.shape[1])
+        chunk = self.VOCODER_CHUNK
+        n_chunks = self._chunk_bucket(max(1, -(-int(mel_lens.max()) // chunk)))
+        slice_len = min(n_chunks * chunk, mel.shape[1])
+        vocode = self._get_vocoder(slice_len)
+        mel_in = jax.lax.slice_in_dim(mel, 0, slice_len, axis=1)
+        wavs = jax.device_get(vocode(self.params["hifigan"], mel_in,
+                                     mel_len_arr))
+        elapsed = time.time() - t0
+
+        out = []
+        up = self.hifigan_cfg.total_upsample
+        for i in range(b):
+            w = wavs[i, : int(mel_lens[i]) * up]
+            w = (w.astype(np.float32) / 32768.0 if w.dtype == np.int16
+                 else np.asarray(w, np.float32))
+            voice = len(w) / self.sampling_rate
+            out.append((w, {"voice_secs": voice, "batch_secs": elapsed,
+                            "mel_len": int(mel_lens[i])}))
+        return out
+
     def warmup(self, text: str, iters: int = 10):
         """Compile + warm both pipeline programs for this text's buckets
         (reference warms 10 iterations, demo.py:151)."""
