@@ -101,17 +101,18 @@ class Synthesizer:
 
                 if self._folded_params is None:
                     from efficientspeech_tpu.models.hifigan_folded import (
-                        fold_hifigan)
+                        fold_hifigan_device)
 
-                    # device-resident pytree, passed as a jit ARGUMENT
-                    # (closure capture would bake ~0.5 GB of constants into
-                    # the HLO)
-                    folded = fold_hifigan(self.params["hifigan"],
-                                          self.hifigan_cfg)
+                    # fold ON DEVICE: only the small original kernels
+                    # transfer; the ~0.5 GB folded matrices never cross the
+                    # host link and pass to the vocoder jit as ARGUMENTS
+                    # (closure capture would bake them into the HLO)
+                    arrays_wb, widths = fold_hifigan_device(
+                        self.params["hifigan"], self.hifigan_cfg,
+                        dtype=self.dtype)
                     self._folded_params = {
-                        k: (jax.device_put(jnp.asarray(W, self.dtype)),
-                            jax.device_put(jnp.asarray(b, self.dtype)), w)
-                        for k, (W, b, w) in folded.items()
+                        k: (arrays_wb[k][0], arrays_wb[k][1], widths[k])
+                        for k in arrays_wb
                     }
                 cfg = self.hifigan_cfg
                 dtype = self.dtype

@@ -107,6 +107,98 @@ def fold_conv_transpose1d(w_kio: np.ndarray, bias: Optional[np.ndarray],
     return W, b, w
 
 
+def _conv_entries(k: int, rate: int, dilation: int, padding: int):
+    """Static (tap, p, off, q) scatter entries + window w for a conv fold."""
+    entries = []
+    offs = []
+    for p in range(rate):
+        for tap in range(k):
+            s = p - padding + tap * dilation
+            off = s // rate
+            q = s - off * rate
+            entries.append((tap, p, off, q))
+            offs.append(off)
+    w = max(abs(min(offs)), abs(max(offs)))
+    return entries, w
+
+
+def _convt_entries(k: int, rate_in: int, stride: int, padding: int):
+    entries = []
+    offs = [0]
+    for p in range(rate_in * stride):
+        for m in range(k):
+            num = p + padding - m
+            if num % stride != 0:
+                continue
+            j = num // stride
+            off = j // rate_in
+            q = j - off * rate_in
+            entries.append((m, p, off, q))
+            offs.append(off)
+    w = max(abs(min(offs)), abs(max(offs)))
+    return entries, w
+
+
+def _scatter_fold(w_kio: jnp.ndarray, bias: jnp.ndarray, entries, w: int,
+                  rate_in: int, rate_out: int):
+    """Device-side fold: scatter (k, C_in, C_out) weights into the folded
+    matrix.  Avoids uploading ~0.5 GB of host-built matrices over slow
+    links — only the original small kernels transfer."""
+    k, c_in, c_out = w_kio.shape
+    d_in, d_out = c_in * rate_in, c_out * rate_out
+    taps = np.array([e[0] for e in entries])
+    rows0 = np.array([(e[2] + w) * d_in + e[3] * c_in for e in entries])
+    cols0 = np.array([e[1] * c_out for e in entries])
+    vals = w_kio[jnp.asarray(taps)]                       # (E, C_in, C_out)
+    R = jnp.asarray(rows0)[:, None, None] + jnp.arange(c_in)[None, :, None]
+    C = jnp.asarray(cols0)[:, None, None] + jnp.arange(c_out)[None, None, :]
+    W = jnp.zeros(((2 * w + 1) * d_in, d_out), w_kio.dtype)
+    W = W.at[R, C].add(vals)
+    b = jnp.tile(bias, rate_out)
+    return W, b
+
+
+def fold_hifigan_device(params: Dict, cfg: HifiGanConfig, dtype=jnp.bfloat16):
+    """One jitted program: generator params → folded weights, entirely on
+    device.  Returns ({key: (W, b)}, {key: w}) with W/b device arrays."""
+    assert cfg.resblock == "1"
+
+    specs = {}  # key -> (param_path, entries, w, rate_in, rate_out)
+    specs["pre"] = ("conv_pre", *_conv_entries(7, 1, 1, 3), 1, 1)
+    rate = 1
+    for i, (u, kk) in enumerate(zip(cfg.upsample_rates,
+                                    cfg.upsample_kernel_sizes)):
+        e, w = _convt_entries(kk, rate, u, (kk - u) // 2)
+        specs[f"up{i}"] = (f"up{i}", e, w, rate, rate * u)
+        rate *= u
+        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                         cfg.resblock_dilation_sizes)):
+            for m, d in enumerate(rd):
+                e1, w1 = _conv_entries(rk, rate, d, (rk * d - d) // 2)
+                specs[f"rb{i}_{j}_c1_{m}"] = (
+                    (f"resblock_{i}_{j}", f"conv1_{m}"), e1, w1, rate, rate)
+                e2, w2 = _conv_entries(rk, rate, 1, (rk - 1) // 2)
+                specs[f"rb{i}_{j}_c2_{m}"] = (
+                    (f"resblock_{i}_{j}", f"conv2_{m}"), e2, w2, rate, rate)
+    specs["post"] = ("conv_post", *_conv_entries(7, rate, 1, 3), rate, rate)
+
+    def get_param(p, path):
+        node = p[path] if isinstance(path, str) else p[path[0]][path[1]]
+        return node["kernel"].astype(dtype), node["bias"].astype(dtype)
+
+    @jax.jit
+    def fold_all(p):
+        out = {}
+        for key, (path, entries, w, r_in, r_out) in specs.items():
+            kern, bias = get_param(p, path)
+            out[key] = _scatter_fold(kern, bias, entries, w, r_in, r_out)
+        return out
+
+    arrays = fold_all(jax.tree.map(jnp.asarray, params))
+    widths = {k: v[2] for k, v in specs.items()}
+    return arrays, widths
+
+
 def fold_hifigan(params: Dict, cfg: HifiGanConfig) -> Dict:
     """HifiGanGenerator params → folded matmul weights (host, one-time)."""
     assert cfg.resblock == "1", "folded path implements ResBlock1 configs"
