@@ -177,24 +177,49 @@ class Synthesizer:
         pad_mask[0, :n] = False
         return phoneme, pad_mask, bucket
 
+    # mel frames assumed per phoneme when sizing the vocoder speculatively
+    # (LJSpeech averages ~6.5; undershoot triggers one exact re-run)
+    SPECULATIVE_EXPANSION = 9
+
     # --- synthesis ---------------------------------------------------------
     def synthesize_ids(self, seq: np.ndarray):
-        """phoneme IDs → (wav f32 np.ndarray trimmed, mel_len, duration)."""
+        """phoneme IDs → (wav f32 np.ndarray trimmed, mel_len, duration).
+
+        Speculative pipeline: the vocoder is dispatched for a frame count
+        predicted from the phoneme count, so no host sync sits between the
+        two programs (each sync costs a full round trip on tunneled TPUs);
+        wav and mel_len are fetched together.  If the speculation
+        undershoots the true mel length, the vocoder re-runs at the exact
+        size (rare: expansion 9 vs LJSpeech's ~6.5 mean frames/phoneme).
+        """
+        n_valid = int(min(len(seq), self.phoneme_buckets[-1]))
         phoneme, pad_mask, bucket = self._pad_to_bucket(seq)
         acoustic = self._get_acoustic(bucket)
         mel, mel_len_arr, duration = acoustic(
             self.params["phoneme2mel"], phoneme, pad_mask)
-        mel_len = int(jax.device_get(mel_len_arr)[0])
-        mel_len = min(mel_len, mel.shape[1])
 
         chunk = self.VOCODER_CHUNK
-        n_chunks = self._chunk_bucket(max(1, -(-mel_len // chunk)))
+        spec_frames = n_valid * self.SPECULATIVE_EXPANSION
+        n_chunks = self._chunk_bucket(max(1, -(-spec_frames // chunk)))
         slice_len = min(n_chunks * chunk, mel.shape[1])
         vocode = self._get_vocoder(slice_len)
         mel_in = jax.lax.slice_in_dim(mel, 0, slice_len, axis=1)
         wav = vocode(self.params["hifigan"], mel_in, mel_len_arr)
+        # one fused fetch: wav buffer + mel_len (trim on host; a device-side
+        # slice would cost an extra dispatch round trip)
+        wav_np, mel_len_np = jax.device_get((wav, mel_len_arr))
+        mel_len = min(int(mel_len_np[0]), mel.shape[1])
+
+        if mel_len > slice_len:  # speculation undershot: exact re-run
+            n_chunks = self._chunk_bucket(-(-mel_len // chunk))
+            slice_len = min(n_chunks * chunk, mel.shape[1])
+            vocode = self._get_vocoder(slice_len)
+            mel_in = jax.lax.slice_in_dim(mel, 0, slice_len, axis=1)
+            wav_np = jax.device_get(
+                vocode(self.params["hifigan"], mel_in, mel_len_arr))
+
         wav_len = mel_len * self.hifigan_cfg.total_upsample
-        wav = jax.device_get(wav[0, :wav_len])
+        wav = wav_np[0, :wav_len]
         if wav.dtype == np.int16:
             wav = wav.astype(np.float32) / 32768.0
         else:
