@@ -97,50 +97,36 @@ class Synthesizer:
         if fn is None:
             if self.vocoder_mode in ("folded", "folded_pallas"):
                 from efficientspeech_tpu.models.hifigan_folded import (
-                    folded_generator_apply)
+                    folded_plan_apply)
 
                 if self._folded_params is None:
                     from efficientspeech_tpu.models.hifigan_folded import (
                         fold_hifigan_device)
 
                     # fold ON DEVICE: only the small original kernels
-                    # transfer; the ~0.5 GB folded matrices never cross the
-                    # host link and pass to the vocoder jit as ARGUMENTS
+                    # transfer; the folded matrices never cross the host
+                    # link and pass to the vocoder jit as ARGUMENTS
                     # (closure capture would bake them into the HLO)
-                    arrays_wb, widths = fold_hifigan_device(
+                    self._folded_params = fold_hifigan_device(
                         self.params["hifigan"], self.hifigan_cfg,
                         dtype=self.dtype)
-                    self._folded_params = {
-                        k: (arrays_wb[k][0], arrays_wb[k][1], widths[k])
-                        for k in arrays_wb
-                    }
+                arrays, meta = self._folded_params
                 cfg = self.hifigan_cfg
                 dtype = self.dtype
                 use_pallas = self.vocoder_mode == "folded_pallas"
-                # window sizes are static metadata for the jitted fn
-                widths = {k: v[2] for k, v in self._folded_params.items()}
 
-                @partial(jax.jit, static_argnums=(3,))
-                def vocode_impl(arrays, mel, mel_len, widths_key):
-                    folded_full = {k: (arrays[k][0], arrays[k][1],
-                                       dict(widths_key)[k])
-                                   for k in arrays}
-                    wav = folded_generator_apply(folded_full, cfg, mel,
-                                                 valid_len=mel_len,
-                                                 dtype=dtype,
-                                                 use_pallas=use_pallas)
+                @jax.jit
+                def vocode_impl(arrs, mel, mel_len):
+                    wav = folded_plan_apply(arrs, meta, cfg, mel,
+                                            valid_len=mel_len, dtype=dtype,
+                                            use_pallas=use_pallas)
                     # 16-bit PCM on device: halves the device→host transfer
                     # (int16 is the final wav format anyway)
-                    pcm = jnp.clip(wav.astype(jnp.float32) * 32768.0,
-                                   -32768.0, 32767.0).astype(jnp.int16)
-                    return pcm
-
-                arrays = {k: (W, b) for k, (W, b, _) in
-                          self._folded_params.items()}
-                widths_key = tuple(sorted(widths.items()))
+                    return jnp.clip(wav.astype(jnp.float32) * 32768.0,
+                                    -32768.0, 32767.0).astype(jnp.int16)
 
                 def vocode(_params, mel, mel_len):
-                    return vocode_impl(arrays, mel, mel_len, widths_key)
+                    return vocode_impl(arrays, mel, mel_len)
             else:
                 gen = HifiGanGenerator(self.hifigan_cfg, dtype=self.dtype)
                 chunk, halo = self.VOCODER_CHUNK, self.VOCODER_HALO

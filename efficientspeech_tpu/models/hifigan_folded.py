@@ -158,29 +158,76 @@ def _scatter_fold(w_kio: jnp.ndarray, bias: jnp.ndarray, entries, w: int,
     return W, b
 
 
-def fold_hifigan_device(params: Dict, cfg: HifiGanConfig, dtype=jnp.bfloat16):
+def make_grid_plan(cfg: HifiGanConfig, d_target: int = 512):
+    """Per-stage polyphase grid: g_s samples per folded row, chosen so
+    D = C_s * g_s ≈ d_target.  A uniform full fold (g_s = cumulative rate)
+    puts stages 1-3 at D=2048 with ≥3-row windows — ~4× the FLOPs of a
+    d_target=512 grid, where late stages shrink to 1-row windows.
+    Returns per-stage (g, rows_per_mel_frame) and the post-upsample row
+    split factors."""
+    ch, rate = [], []
+    r = 1
+    c0 = cfg.upsample_initial_channel
+    for i, u in enumerate(cfg.upsample_rates):
+        r *= u
+        ch.append(c0 // (2 ** (i + 1)))
+        rate.append(r)
+    g = []
+    for c_s, r_s in zip(ch, rate):
+        gs = max(1, min(r_s, d_target // c_s))
+        while r_s % gs:
+            gs -= 1  # g must divide the stage rate for frame alignment
+        g.append(gs)
+    rows_per_frame = [r_s // g_s for r_s, g_s in zip(rate, g)]
+    return ch, rate, g, rows_per_frame
+
+
+def fold_hifigan_device(params: Dict, cfg: HifiGanConfig, dtype=jnp.bfloat16,
+                        d_target: int = 512):
     """One jitted program: generator params → folded weights, entirely on
-    device.  Returns ({key: (W, b)}, {key: w}) with W/b device arrays."""
+    device (only the small original kernels cross the host link).
+
+    Returns ({key: (W, b)}, meta) where meta carries the static plan:
+    window widths, post-up reshape factors, and per-key valid-row
+    multipliers (rows per mel frame at that op's output grid).
+    """
     assert cfg.resblock == "1"
 
-    specs = {}  # key -> (param_path, entries, w, rate_in, rate_out)
+    ch, rate, g, rows_per_frame = make_grid_plan(cfg, d_target)
+
+    specs = {}   # key -> (param_path, entries, w, rate_in, rate_out)
+    reshape = {}  # key (up ops) -> row split factor after the op
+    valid_mult = {}
+
     specs["pre"] = ("conv_pre", *_conv_entries(7, 1, 1, 3), 1, 1)
-    rate = 1
+    valid_mult["pre"] = 1
+    g_prev = 1
     for i, (u, kk) in enumerate(zip(cfg.upsample_rates,
                                     cfg.upsample_kernel_sizes)):
-        e, w = _convt_entries(kk, rate, u, (kk - u) // 2)
-        specs[f"up{i}"] = (f"up{i}", e, w, rate, rate * u)
-        rate *= u
+        # convT emits rows of g_prev*u samples; reshape splits to g[i]
+        e, w = _convt_entries(kk, g_prev, u, (kk - u) // 2)
+        specs[f"up{i}"] = (f"up{i}", e, w, g_prev, g_prev * u)
+        split = (g_prev * u) // g[i]
+        assert split * g[i] == g_prev * u, (i, g_prev, u, g[i])
+        reshape[f"up{i}"] = split
+        # masking happens pre-split (rows/frame at the raw convT output)
+        assert rows_per_frame[i] % split == 0
+        valid_mult[f"up{i}"] = rows_per_frame[i] // split
         for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
                                          cfg.resblock_dilation_sizes)):
             for m, d in enumerate(rd):
-                e1, w1 = _conv_entries(rk, rate, d, (rk * d - d) // 2)
+                e1, w1 = _conv_entries(rk, g[i], d, (rk * d - d) // 2)
                 specs[f"rb{i}_{j}_c1_{m}"] = (
-                    (f"resblock_{i}_{j}", f"conv1_{m}"), e1, w1, rate, rate)
-                e2, w2 = _conv_entries(rk, rate, 1, (rk - 1) // 2)
+                    (f"resblock_{i}_{j}", f"conv1_{m}"), e1, w1, g[i], g[i])
+                valid_mult[f"rb{i}_{j}_c1_{m}"] = rows_per_frame[i]
+                e2, w2 = _conv_entries(rk, g[i], 1, (rk - 1) // 2)
                 specs[f"rb{i}_{j}_c2_{m}"] = (
-                    (f"resblock_{i}_{j}", f"conv2_{m}"), e2, w2, rate, rate)
-    specs["post"] = ("conv_post", *_conv_entries(7, rate, 1, 3), rate, rate)
+                    (f"resblock_{i}_{j}", f"conv2_{m}"), e2, w2, g[i], g[i])
+                valid_mult[f"rb{i}_{j}_c2_{m}"] = rows_per_frame[i]
+        g_prev = g[i]
+    specs["post"] = ("conv_post", *_conv_entries(7, g[-1], 1, 3),
+                     g[-1], g[-1])
+    valid_mult["post"] = rows_per_frame[-1]
 
     def get_param(p, path):
         node = p[path] if isinstance(path, str) else p[path[0]][path[1]]
@@ -195,8 +242,85 @@ def fold_hifigan_device(params: Dict, cfg: HifiGanConfig, dtype=jnp.bfloat16):
         return out
 
     arrays = fold_all(jax.tree.map(jnp.asarray, params))
-    widths = {k: v[2] for k, v in specs.items()}
-    return arrays, widths
+    meta = {
+        "widths": {k: v[2] for k, v in specs.items()},
+        "reshape": reshape,
+        "valid_mult": valid_mult,
+    }
+    return arrays, meta
+
+
+def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
+                      mel: jnp.ndarray,
+                      valid_len: Optional[jnp.ndarray] = None,
+                      dtype=jnp.bfloat16,
+                      use_pallas: bool = False,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Run the re-gridded folded generator.  ``arrays``/``meta`` from
+    fold_hifigan_device.  Exactly equivalent to HifiGanGenerator with
+    row-level (frame-aligned) masking."""
+    widths = dict(meta["widths"])
+    reshape = dict(meta["reshape"])
+    valid_mult = dict(meta["valid_mult"])
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    x = mel.astype(dtype)
+    b = x.shape[0]
+
+    if use_pallas:
+        from efficientspeech_tpu.ops.pallas.folded_matmul import folded_matmul
+
+        assert b == 1, "pallas folded path is single-utterance"
+
+    def apply_op(inp, key, pre_lrelu, slope=LRELU_SLOPE, residual=None):
+        W, bb = arrays[key]
+        w = widths[key]
+        if valid_len is not None:
+            vrows = valid_len * valid_mult[key]
+        else:
+            vrows = None
+        if use_pallas:
+            vl = (vrows[0] if vrows is not None
+                  else jnp.int32(inp.shape[1]))
+            out = folded_matmul(inp[0], W.astype(dtype), bb.astype(dtype),
+                                w, vl,
+                                residual=None if residual is None
+                                else residual[0],
+                                pre_lrelu=pre_lrelu, lrelu_slope=slope,
+                                interpret=interpret)[None]
+        else:
+            src = inp
+            if pre_lrelu:
+                src = leaky(src, slope)
+            out = _folded_apply(src, (W, bb, w), dtype)
+            if residual is not None:
+                out = out + residual
+            if vrows is not None:
+                t = out.shape[1]
+                keep = (jnp.arange(t, dtype=jnp.int32)[None, :]
+                        < vrows[:, None])
+                out = jnp.where(keep[:, :, None], out, 0.0)
+        split = reshape.get(key, 1)
+        if split > 1:
+            bb_, t_, d_ = out.shape
+            out = out.reshape(bb_, t_ * split, d_ // split)
+        return out
+
+    x = apply_op(x, "pre", pre_lrelu=False)
+    for i in range(len(cfg.upsample_rates)):
+        x = apply_op(x, f"up{i}", pre_lrelu=True)
+        xs = None
+        for j, rd in enumerate(cfg.resblock_dilation_sizes):
+            v = x
+            for m in range(len(rd)):
+                t1 = apply_op(v, f"rb{i}_{j}_c1_{m}", pre_lrelu=True)
+                v = apply_op(t1, f"rb{i}_{j}_c2_{m}", pre_lrelu=True,
+                             residual=v)
+            xs = v if xs is None else xs + v
+        x = xs / num_kernels
+    x = apply_op(x, "post", pre_lrelu=True, slope=0.01)
+    x = jnp.tanh(x)
+    b_, t_, d_ = x.shape
+    return x.reshape(b_, t_ * d_)
 
 
 def fold_hifigan(params: Dict, cfg: HifiGanConfig) -> Dict:

@@ -118,3 +118,34 @@ def test_folded_generator_real_weights():
                                  dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_plan_apply_regridded_matches_conv_generator():
+    """Per-stage re-gridded fold (D≈512 everywhere) == conv generator."""
+    from efficientspeech_tpu.models.hifigan_folded import (
+        fold_hifigan_device, folded_plan_apply, make_grid_plan)
+
+    cfg = HifiGanConfig()  # real dims: channels 64/32/16/8 → g 8/16/32/64
+    ch, rate, g, rpf = make_grid_plan(cfg)
+    assert g == [8, 16, 32, 64] and rpf == [1, 4, 4, 4]
+
+    gen = HifiGanGenerator(cfg)
+    params = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 4, 80)))["params"]
+    arrays, meta = fold_hifigan_device(params, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(4)
+    t, valid = 12, 9
+    mel = rng.normal(-3, 2, size=(1, t, 80)).astype(np.float32)
+    mel[0, valid:] = 0
+    vl = jnp.asarray([valid])
+    ref = gen.apply({"params": params}, jnp.asarray(mel), valid_len=vl)
+    got = folded_plan_apply(arrays, meta, cfg, jnp.asarray(mel), vl,
+                            dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # pallas interpret path
+    got_p = folded_plan_apply(arrays, meta, cfg, jnp.asarray(mel), vl,
+                              dtype=jnp.float32, use_pallas=True,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
