@@ -45,11 +45,13 @@ class Synthesizer:
                  dtype=jnp.bfloat16,
                  phoneme_buckets=DEFAULT_PHONEME_BUCKETS,
                  mel_expansion: int = MEL_EXPANSION,
-                 vocoder_mode: str = "folded"):
+                 vocoder_mode: str = "folded",
+                 fused_pipeline: bool = True):
         self.cfg = cfg
         self.hifigan_cfg = hifigan_cfg
         self.params = params
         self.vocoder_mode = vocoder_mode
+        self.fused_pipeline = fused_pipeline
         self._folded_params = None
         self.preprocess_cfg = preprocess_cfg or PreprocessConfig()
         self.dtype = dtype
@@ -68,6 +70,58 @@ class Synthesizer:
     # the padded bucket (the vocoder dominates end-to-end cost).
     VOCODER_CHUNK = 128
     VOCODER_HALO = 16  # > generator receptive field (~13.7 frames)
+
+    def _get_fused(self, bucket: int):
+        """One program: phonemes → int16 PCM + mel_len.  With the folded
+        vocoder the full-mel-bucket waste is a few ms, far cheaper than the
+        extra dispatch/fetch round trips of a split pipeline on high-latency
+        links; single dispatch + single fused fetch."""
+        key = ("fused", self.vocoder_mode, bucket)
+        fn = self._jitted.get(key)
+        if fn is None:
+            import dataclasses
+
+            model = Phoneme2Mel(
+                cfg=dataclasses.replace(
+                    self.cfg, max_phoneme_len=bucket,
+                    max_mel_len=bucket * self.mel_expansion),
+                dtype=self.dtype)
+            self._ensure_folded()
+            arrays, meta = self._folded_params
+            cfg = self.hifigan_cfg
+            dtype = self.dtype
+            use_pallas = self.vocoder_mode == "folded_pallas"
+
+            from efficientspeech_tpu.models.hifigan_folded import (
+                folded_plan_apply)
+
+            @jax.jit
+            def fused(params, arrs, phoneme, pad_mask):
+                pred = model.apply({"params": params}, phoneme, pad_mask,
+                                   train=False)
+                mel_len = jnp.minimum(pred["mel_len"],
+                                      pred["mel"].shape[1])
+                wav = folded_plan_apply(arrs, meta, cfg, pred["mel"],
+                                        valid_len=mel_len, dtype=dtype,
+                                        use_pallas=use_pallas)
+                pcm = jnp.clip(wav.astype(jnp.float32) * 32768.0,
+                               -32768.0, 32767.0).astype(jnp.int16)
+                return pcm, pred["mel_len"], pred["duration"]
+
+            def call(phoneme, pad_mask):
+                return fused(self.params["phoneme2mel"],
+                             self._folded_params[0], phoneme, pad_mask)
+
+            self._jitted[key] = fn = call
+        return fn
+
+    def _ensure_folded(self):
+        if self._folded_params is None:
+            from efficientspeech_tpu.models.hifigan_folded import (
+                fold_hifigan_device)
+
+            self._folded_params = fold_hifigan_device(
+                self.params["hifigan"], self.hifigan_cfg, dtype=self.dtype)
 
     def _get_acoustic(self, bucket: int):
         fn = self._jitted.get(("acoustic", bucket))
@@ -178,8 +232,18 @@ class Synthesizer:
         undershoots the true mel length, the vocoder re-runs at the exact
         size (rare: expansion 9 vs LJSpeech's ~6.5 mean frames/phoneme).
         """
-        n_valid = int(min(len(seq), self.phoneme_buckets[-1]))
         phoneme, pad_mask, bucket = self._pad_to_bucket(seq)
+
+        if self.fused_pipeline and self.vocoder_mode != "chunked":
+            fused = self._get_fused(bucket)
+            pcm, mel_len_arr, duration = fused(phoneme, pad_mask)
+            pcm_np, mel_len_np = jax.device_get((pcm, mel_len_arr))
+            mel_len = min(int(mel_len_np[0]),
+                          bucket * self.mel_expansion)
+            wav = pcm_np[0, : mel_len * self.hifigan_cfg.total_upsample]
+            return wav.astype(np.float32) / 32768.0, mel_len, duration
+
+        n_valid = int(min(len(seq), self.phoneme_buckets[-1]))
         acoustic = self._get_acoustic(bucket)
         mel, mel_len_arr, duration = acoustic(
             self.params["phoneme2mel"], phoneme, pad_mask)
