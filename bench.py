@@ -45,9 +45,13 @@ def main():
     parser.add_argument("--text", default=LONG_TEXT)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--metric", default="rtf",
-                        choices=["rtf", "mel_rtf"],
-                        help="rtf = full text→wav; mel_rtf = mel-stage only "
-                             "(the reference's mRTF headline, README.md:3)")
+                        choices=["rtf", "mel_rtf", "batch_rtf"],
+                        help="rtf = full text→wav single-stream; mel_rtf = "
+                             "mel-stage only (the reference's mRTF headline, "
+                             "README.md:3); batch_rtf = serving throughput "
+                             "with batched synthesis")
+    parser.add_argument("--batch", type=int, default=16,
+                        help="batch size for --metric batch_rtf")
     parser.add_argument("--profile", default=None,
                         help="write a jax.profiler trace to this directory")
     parser.add_argument("--verbose", action="store_true")
@@ -101,6 +105,25 @@ def main():
         print(json.dumps({"metric": "mel_rtf", "value": round(mean, 2),
                           "unit": "x_realtime",
                           "vs_baseline": round(mean / 104.0, 3)}))
+        return
+
+    if args.metric == "batch_rtf":
+        texts = [args.text] * args.batch
+        synth.tts_batch(texts[:2])  # warm the batched programs
+        synth.tts_batch(texts)
+        rtfs = []
+        for _ in range(args.iter):
+            t0 = time.time()
+            outs = synth.tts_batch(texts)
+            elapsed = time.time() - t0
+            voice = sum(info["voice_secs"] for _, info in outs)
+            rtfs.append(voice / elapsed)
+        mean = float(np.mean(rtfs))
+        if args.profile:
+            jax.profiler.stop_trace()
+        print(json.dumps({"metric": "batch_text_to_wav_rtf",
+                          "value": round(mean, 2), "unit": "x_realtime",
+                          "vs_baseline": round(mean / BASELINE_RTF, 3)}))
         return
 
     rtfs, model_rtfs, voice = [], [], 0.0

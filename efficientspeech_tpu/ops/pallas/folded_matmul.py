@@ -74,7 +74,7 @@ def folded_matmul(x: jnp.ndarray, W: jnp.ndarray, b: jnp.ndarray, w: int,
                   residual: Optional[jnp.ndarray] = None,
                   pre_lrelu: bool = False,
                   lrelu_slope: float = LRELU_SLOPE,
-                  tm: int = 256, tn: int = 1024,
+                  tm: int = 256, tn: int = 512,
                   interpret: bool = False) -> jnp.ndarray:
     """x (T, D_in) frame-rate activations → (T, D_out).
 
