@@ -29,8 +29,15 @@ from jax.experimental.pallas import tpu as pltpu
 LRELU_SLOPE = 0.1
 
 
+def _round8(x):
+    return ((x + 7) // 8) * 8
+
+
 def _make_kernel(n_win, tm, d_in, pre_lrelu, has_residual, out_dtype,
                  lrelu_slope=LRELU_SLOPE):
+    # Mosaic requires DMA slice lengths 8-aligned on the sublane dim
+    slice_rows = _round8(tm + n_win - 1)
+
     def kernel(valid_ref, x_hbm, w_ref, b_ref, *rest):
         if has_residual:
             res_ref, o_ref = rest
@@ -40,7 +47,7 @@ def _make_kernel(n_win, tm, d_in, pre_lrelu, has_residual, out_dtype,
 
         def body(xs_ref, sem):
             cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(i * tm, tm + n_win - 1), :], xs_ref, sem)
+                x_hbm.at[pl.ds(i * tm, slice_rows), :], xs_ref, sem)
             cp.start()
             cp.wait()
 
@@ -48,7 +55,9 @@ def _make_kernel(n_win, tm, d_in, pre_lrelu, has_residual, out_dtype,
             for j in range(n_win):
                 xs = xs_ref[j: j + tm, :]
                 if pre_lrelu:
-                    xs = jnp.where(xs >= 0, xs, xs * lrelu_slope)
+                    # max/min form: Mosaic has no bf16 vector compare
+                    xs = (jnp.maximum(xs, 0)
+                          + jnp.minimum(xs, 0) * lrelu_slope)
                 acc += jnp.dot(xs, w_ref[j * d_in: (j + 1) * d_in, :],
                                preferred_element_type=jnp.float32)
             acc += b_ref[0, :].astype(jnp.float32)
@@ -62,7 +71,7 @@ def _make_kernel(n_win, tm, d_in, pre_lrelu, has_residual, out_dtype,
 
         pl.run_scoped(
             body,
-            pltpu.VMEM((tm + n_win - 1, d_in), x_hbm.dtype),
+            pltpu.VMEM((slice_rows, d_in), x_hbm.dtype),
             pltpu.SemaphoreType.DMA(()),
         )
 
@@ -92,7 +101,10 @@ def folded_matmul(x: jnp.ndarray, W: jnp.ndarray, b: jnp.ndarray, w: int,
     grid_n = -(-d_out // tn)
     t_pad = grid_t * tm
 
-    xp = jnp.pad(x, ((w, t_pad - t + w), (0, 0)))
+    # right-pad so the last tile's 8-aligned halo DMA stays in bounds
+    slice_rows = _round8(tm + n_win - 1)
+    right_pad = (t_pad - t) + (slice_rows - tm - w)
+    xp = jnp.pad(x, ((w, right_pad), (0, 0)))
     b2 = b.reshape(1, d_out).astype(x.dtype)
     valid = jnp.asarray(valid_len, jnp.int32).reshape(1)
     W = W.astype(x.dtype)
