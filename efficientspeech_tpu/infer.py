@@ -346,6 +346,20 @@ class Synthesizer:
                             "mel_len": int(mel_lens[i])}))
         return out
 
+    def precompile(self, texts=None, buckets=None):
+        """Compile serving programs ahead of traffic: one fused program per
+        requested bucket (from sample texts and/or explicit bucket sizes)."""
+        buckets = set(buckets or [])
+        for text in texts or []:
+            seq = self.phonemize(text)
+            buckets.add(next_bucket(len(seq), self.phoneme_buckets))
+        for b in sorted(buckets):
+            if self.fused_pipeline and self.vocoder_mode != "chunked":
+                self._get_fused(b)
+            else:
+                self._get_acoustic(b)
+        return sorted(buckets)
+
     def warmup(self, text: str, iters: int = 10):
         """Compile + warm both pipeline programs for this text's buckets
         (reference warms 10 iterations, demo.py:151)."""

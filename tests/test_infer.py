@@ -41,3 +41,27 @@ def test_program_cache_reuse(synth):
     n_programs = len(synth._jitted)
     synth.tts("second one")
     assert len(synth._jitted) == n_programs  # same bucket reused
+
+
+def test_tagalog_char_fallback():
+    """t1 language: OOV words fall back to characters (reference:
+    synthesize.py:44-45).  With the default (English) symbol set the
+    @-prefixed chars are not in the vocabulary and are dropped — exactly
+    the reference's behavior, since its Tagalog symbols are commented out
+    of the table (reference: text/symbols.py:28)."""
+    from efficientspeech_tpu.config import PreprocessConfig
+    from efficientspeech_tpu.text.g2p import G2p, text2phoneme
+
+    cfg = PreprocessConfig(language="t1", text_cleaners=(),
+                           lexicon_path="/nonexistent")
+    seq = text2phoneme({}, G2p(), "kamusta", cfg)
+    assert len(seq) == 0  # dropped, matching reference's default vocab
+    # lexicon entries that map to ARPAbet phones do survive
+    seq2 = text2phoneme({"kamusta": ["K", "AH0", "M", "UW1", "S", "T", "AH0"]},
+                        G2p(), "kamusta", cfg)
+    assert len(seq2) == 7
+
+
+def test_precompile(synth):
+    synth.precompile(texts=["hello there"])
+    assert any(k[0] == "fused" for k in synth._jitted)
