@@ -278,7 +278,10 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
             vrows = valid_len * valid_mult[key]
         else:
             vrows = None
-        if use_pallas:
+        d_in = W.shape[0] // (2 * w + 1)
+        # Mosaic needs the lane (feature) dim 128-aligned; route the mel
+        # input op (d_in=80) through XLA
+        if use_pallas and d_in % 128 == 0:
             vl = (vrows[0] if vrows is not None
                   else jnp.int32(inp.shape[1]))
             out = folded_matmul(inp[0], W.astype(dtype), bb.astype(dtype),
