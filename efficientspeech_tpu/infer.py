@@ -95,10 +95,17 @@ class Synthesizer:
             from efficientspeech_tpu.models.hifigan_folded import (
                 folded_plan_apply)
 
+            # the tiny acoustic params (~1-16 MB) bake into the program as
+            # constants: every jit argument leaf costs marshaling time per
+            # call on high-latency runtimes (folded vocoder arrays are far
+            # too big for that and stay arguments)
+            acoustic_params = jax.tree.map(jnp.asarray,
+                                           self.params["phoneme2mel"])
+
             @jax.jit
-            def fused(params, arrs, phoneme, pad_mask):
-                pred = model.apply({"params": params}, phoneme, pad_mask,
-                                   train=False)
+            def fused(arrs, phoneme, pad_mask):
+                pred = model.apply({"params": acoustic_params}, phoneme,
+                                   pad_mask, train=False)
                 mel_len = jnp.minimum(pred["mel_len"],
                                       pred["mel"].shape[1])
                 wav = folded_plan_apply(arrs, meta, cfg, pred["mel"],
@@ -109,8 +116,7 @@ class Synthesizer:
                 return pcm, pred["mel_len"], pred["duration"]
 
             def call(phoneme, pad_mask):
-                return fused(self.params["phoneme2mel"],
-                             self._folded_params[0], phoneme, pad_mask)
+                return fused(self._folded_params[0], phoneme, pad_mask)
 
             self._jitted[key] = fn = call
         return fn
