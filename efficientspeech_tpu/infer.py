@@ -53,6 +53,7 @@ class Synthesizer:
         self.vocoder_mode = vocoder_mode
         self.fused_pipeline = fused_pipeline
         self._folded_params = None
+        self._packed_folded = None
         self.preprocess_cfg = preprocess_cfg or PreprocessConfig()
         self.dtype = dtype
         self.phoneme_buckets = tuple(phoneme_buckets)
@@ -95,15 +96,24 @@ class Synthesizer:
             from efficientspeech_tpu.models.hifigan_folded import (
                 folded_plan_apply)
 
-            # the tiny acoustic params (~1-16 MB) bake into the program as
-            # constants: every jit argument leaf costs marshaling time per
-            # call on high-latency runtimes (folded vocoder arrays are far
-            # too big for that and stay arguments)
+            # Per-call cost trimming for high-latency runtimes: the tiny
+            # acoustic params (~1-16 MB) bake into the program as constants,
+            # and the folded vocoder weights (too big for constants) pack
+            # into ONE flat argument — every jit argument leaf costs
+            # marshaling time per call.
+            from efficientspeech_tpu.models.hifigan_folded import (
+                pack_folded, unpack_folded)
+
             acoustic_params = jax.tree.map(jnp.asarray,
                                            self.params["phoneme2mel"])
+            if self._packed_folded is None:
+                self._packed_folded = pack_folded(arrays, dtype)
+            flat, layout = self._packed_folded
+            widths = meta["widths"]
 
             @jax.jit
-            def fused(arrs, phoneme, pad_mask):
+            def fused(flat_w, phoneme, pad_mask):
+                arrs = unpack_folded(flat_w, layout, widths)
                 pred = model.apply({"params": acoustic_params}, phoneme,
                                    pad_mask, train=False)
                 mel_len = jnp.minimum(pred["mel_len"],
@@ -116,7 +126,7 @@ class Synthesizer:
                 return pcm, pred["mel_len"], pred["duration"]
 
             def call(phoneme, pad_mask):
-                return fused(self._folded_params[0], phoneme, pad_mask)
+                return fused(self._packed_folded[0], phoneme, pad_mask)
 
             self._jitted[key] = fn = call
         return fn

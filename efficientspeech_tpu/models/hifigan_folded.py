@@ -250,6 +250,38 @@ def fold_hifigan_device(params: Dict, cfg: HifiGanConfig, dtype=jnp.bfloat16,
     return arrays, meta
 
 
+def pack_folded(arrays: Dict, dtype=jnp.bfloat16):
+    """Concatenate every folded W and b into ONE flat device array.
+
+    High-latency runtimes pay per-argument marshaling on every jitted call;
+    packing turns 2×21 array arguments into one.  Returns (flat, layout)
+    where layout maps key → (w_offset, w_shape, b_offset, b_len) (static).
+    """
+    parts = []
+    layout = {}
+    off = 0
+    for key in sorted(arrays):
+        W, b = arrays[key]
+        W = jnp.asarray(W, dtype)
+        b = jnp.asarray(b, dtype)
+        layout[key] = (off, tuple(W.shape), off + W.size, int(b.size))
+        parts.append(W.reshape(-1))
+        parts.append(b.reshape(-1))
+        off += W.size + b.size
+    return jnp.concatenate(parts), layout
+
+
+def unpack_folded(flat: jnp.ndarray, layout, widths) -> Dict:
+    """Inverse of pack_folded (inside jit; slices are views until used)."""
+    out = {}
+    for key, (w_off, w_shape, b_off, b_len) in layout.items():
+        W = jax.lax.dynamic_slice_in_dim(
+            flat, w_off, int(np.prod(w_shape))).reshape(w_shape)
+        b = jax.lax.dynamic_slice_in_dim(flat, b_off, b_len)
+        out[key] = (W, b)
+    return out
+
+
 def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
                       mel: jnp.ndarray,
                       valid_len: Optional[jnp.ndarray] = None,
