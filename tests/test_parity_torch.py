@@ -69,11 +69,16 @@ def _convert(p2m, cfg):
     return params["phoneme2mel"]
 
 
-@pytest.mark.parametrize("preset", ["tiny", "small", "base"])
-def test_phoneme2mel_bs1_inference_parity(preset):
+@pytest.mark.parametrize("preset,n", [
+    ("tiny", 57),    # odd length: exercises the ceil(n/2) stage boundary
+    ("tiny", 64),    # exactly the bucket: no padding at all
+    ("tiny", 5),     # very short
+    ("small", 57),
+    ("base", 57),
+])
+def test_phoneme2mel_bs1_inference_parity(preset, n):
     """Reference unpadded bs=1 inference == our padded program (valid region)."""
     rng = np.random.default_rng(3)
-    n = 57
     phoneme = rng.integers(1, 152, size=(1, n)).astype(np.int32)
 
     # random-init duration heads sometimes predict ~0 total frames, which the
