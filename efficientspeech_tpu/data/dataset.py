@@ -16,8 +16,6 @@ frame rate, plus text for validation dumps.
 """
 
 import os
-import queue
-import threading
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -35,7 +33,8 @@ class LJSpeechDataset:
     ``{mel,pitch,energy,duration}/*.npy`` + ``train.txt``/``val.txt``
     (reference on-disk layout: preprocessor/preprocessor.py:54-57,142-151)."""
 
-    def __init__(self, filename: str, cfg: PreprocessConfig):
+    def __init__(self, filename: str, cfg: PreprocessConfig,
+                 cache_in_memory: bool = True):
         self.cfg = cfg
         self.preprocessed_path = cfg.preprocessed_path
         self.cleaners = list(cfg.text_cleaners)
@@ -47,6 +46,10 @@ class LJSpeechDataset:
             np.asarray(text_to_sequence(t, self.cleaners), dtype=np.int32)
             for t in self.text
         ]
+        # at TPU step rates (hundreds of steps/s) per-item np.load cannot
+        # keep up; LJSpeech features are ~2.5 GB and fit in RAM
+        self._cache: List[Dict] = [None] * len(self.text) if cache_in_memory \
+            else None
 
     def _process_meta(self, filename: str):
         names, speakers, texts, raw_texts = [], [], [], []
@@ -71,7 +74,9 @@ class LJSpeechDataset:
             f"{self.speaker[idx]}-{kind}-{self.basename[idx]}.npy"))
 
     def __getitem__(self, idx: int) -> Dict:
-        return {
+        if self._cache is not None and self._cache[idx] is not None:
+            return self._cache[idx]
+        item = {
             "phoneme": self.phonemes[idx],
             "text": self.raw_text[idx],
             "pitch": self._np("pitch", idx).astype(np.float32),
@@ -79,6 +84,9 @@ class LJSpeechDataset:
             "duration": self._np("duration", idx).astype(np.int32),
             "mel": self._np("mel", idx).astype(np.float32),
         }
+        if self._cache is not None:
+            self._cache[idx] = item
+        return item
 
 
 class BucketedLoader:
@@ -176,18 +184,21 @@ class BucketedLoader:
                 yield self._assemble(self._batches[bi])
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
+        # bounded, order-preserving parallel prefetch: at TPU step rates the
+        # single-threaded assembly would starve the device
+        from concurrent.futures import ThreadPoolExecutor
 
-        def producer():
-            for bi in order:
-                q.put(self._assemble(self._batches[bi]))
-            q.put(stop)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        with ThreadPoolExecutor(max_workers=max(2, self.prefetch)) as ex:
+            pending = []
+            it = iter(order)
+            for bi in it:
+                pending.append(ex.submit(
+                    self._assemble, self._batches[bi]))
+                if len(pending) >= self.prefetch + 1:
+                    break
+            for bi in it:
+                yield pending.pop(0).result()
+                pending.append(ex.submit(
+                    self._assemble, self._batches[bi]))
+            for f in pending:
+                yield f.result()
