@@ -17,11 +17,13 @@ from efficientspeech_tpu.training.losses import compute_losses
 from efficientspeech_tpu.training.state import TrainState
 
 
-def make_train_step(model: Phoneme2Mel, tx, mesh=None, donate: bool = True):
+def make_train_step(model: Phoneme2Mel, tx, mesh=None, donate: bool = True,
+                    state_sharding=None):
     """Returns train_step(state, batch) -> (state, metrics), jitted.
 
-    If ``mesh`` is given, shardings are attached: state replicated, batch
-    sharded over 'data'.
+    If ``mesh`` is given, shardings are attached: batch sharded over 'data',
+    state replicated — or, when ``state_sharding`` is given (see
+    parallel.sharding.state_shardings), tensor-parallel over 'model'.
     """
 
     def loss_fn(trainable, batch):
@@ -50,9 +52,10 @@ def make_train_step(model: Phoneme2Mel, tx, mesh=None, donate: bool = True):
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        st = state_sharding if state_sharding is not None else repl
         return jax.jit(train_step,
-                       in_shardings=(repl, data),
-                       out_shardings=(repl, repl),
+                       in_shardings=(st, data),
+                       out_shardings=(st, repl),
                        donate_argnums=(0,) if donate else ())
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
