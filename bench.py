@@ -98,7 +98,7 @@ def main():
                                        phoneme, pad_mask)
             mel_len = int(jax.device_get(mel_len)[0])
             mrtfs.append(mel_len * hop_secs / (time.time() - t0))
-        mean = float(np.mean(mrtfs))
+        mean = float(np.median(mrtfs))
         if args.profile:
             jax.profiler.stop_trace()
         # mRTF baseline: 104x on RPi4 (README.md:3)
@@ -118,12 +118,12 @@ def main():
             elapsed = time.time() - t0
             voice = sum(info["voice_secs"] for _, info in outs)
             rtfs.append(voice / elapsed)
-        mean = float(np.mean(rtfs))
+        med = float(np.median(rtfs))
         if args.profile:
             jax.profiler.stop_trace()
         print(json.dumps({"metric": "batch_text_to_wav_rtf",
-                          "value": round(mean, 2), "unit": "x_realtime",
-                          "vs_baseline": round(mean / BASELINE_RTF, 3)}))
+                          "value": round(med, 2), "unit": "x_realtime",
+                          "vs_baseline": round(med / BASELINE_RTF, 3)}))
         return
 
     rtfs, model_rtfs, voice = [], [], 0.0
@@ -136,12 +136,14 @@ def main():
     if args.profile:
         jax.profiler.stop_trace()
 
-    mean_rtf = float(np.mean(rtfs))
+    # median: occasional multi-second transport stalls on tunneled devices
+    # poison a mean; median reflects the steady-state latency
+    med_rtf = float(np.median(rtfs))
     result = {
         "metric": "text_to_wav_rtf",
-        "value": round(mean_rtf, 2),
+        "value": round(med_rtf, 2),
         "unit": "x_realtime",
-        "vs_baseline": round(mean_rtf / BASELINE_RTF, 3),
+        "vs_baseline": round(med_rtf / BASELINE_RTF, 3),
     }
     if args.verbose:
         extras = {
