@@ -85,10 +85,13 @@ class Trainer:
             seed=train_cfg.seed,
             max_phoneme_len=model_cfg.max_phoneme_len,
             max_mel_len=model_cfg.max_mel_len, drop_last=True)
+        data_size = int(self.mesh.shape.get("data", 1))
         self.val_loader = BucketedLoader(
             self.val_ds, train_cfg.batch_size, shuffle=False,
             max_phoneme_len=model_cfg.max_phoneme_len,
-            max_mel_len=model_cfg.max_mel_len)
+            max_mel_len=model_cfg.max_mel_len,
+            # sharded eval needs batch % data-axis == 0
+            drop_last=data_size > 1)
 
         self.steps_per_epoch = max(1, len(self.train_loader))
         self.tx = make_optimizer(train_cfg, self.steps_per_epoch)
@@ -127,6 +130,20 @@ class Trainer:
             self.state = restore_checkpoint(path, self.state)
             print(f"resumed from {path} at step {int(self.state.step)}")
         return int(jax.device_get(self.state.step))
+
+    def evaluate(self) -> Dict[str, float]:
+        """Teacher-forced losses over the validation set (epoch-averaged)."""
+        sums: Dict[str, float] = {}
+        count = 0
+        for batch in self.val_loader:
+            host = {k: v for k, v in batch.items() if k != "text"}
+            metrics = self.eval_step(self.state.params,
+                                     shard_batch(host, self.mesh))
+            for k, v in jax.device_get(metrics).items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+        return {k.replace("_loss", ""): v / max(count, 1)
+                for k, v in sums.items()}
 
     # --- validation audio dumps (reference: model.py:246-271) --------------
     def _get_vocoder(self):
@@ -212,6 +229,8 @@ class Trainer:
                 save_checkpoint(self.train_cfg.checkpoint_dir, self.state,
                                 step=step)
             if epoch >= 1 and (epoch + 1) % self.train_cfg.val_every_n_epochs == 0:
+                val = self.evaluate()
+                self.logger.log(step, {f"val_{k}": v for k, v in val.items()})
                 try:
                     self.validate_audio(epoch)
                 except Exception as e:  # audio dumps must not kill training

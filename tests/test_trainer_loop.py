@@ -39,6 +39,10 @@ def test_trainer_fit_and_resume(preprocessed_corpus, tmp_path):
     assert len(lines) >= 2
     assert "mel" in lines[-1] and "lr" in lines[-1]
 
+    # teacher-forced validation losses
+    val = trainer.evaluate()
+    assert "mel" in val and val["mel"] > 0
+
     # resume: new trainer picks up the checkpoint
     trainer2 = Trainer(model_cfg, train_cfg, preprocessed_corpus,
                        dtype=jnp.float32, mesh=mesh)
