@@ -10,7 +10,6 @@ export (reference: convert.py:35-42).
 """
 
 import time
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -15,7 +15,6 @@ from efficientspeech_tpu.audio.stft import (
     hann_window,
     istft,
     stft,
-    stft_magnitude,
 )
 
 torch = pytest.importorskip("torch")

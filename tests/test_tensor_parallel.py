@@ -5,7 +5,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from efficientspeech_tpu.config import ModelConfig, TrainConfig
 from efficientspeech_tpu.models.phoneme2mel import Phoneme2Mel
