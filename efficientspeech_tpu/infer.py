@@ -27,7 +27,7 @@ from efficientspeech_tpu.models.phoneme2mel import Phoneme2Mel
 from efficientspeech_tpu.text.g2p import get_lexicon_and_g2p, text2phoneme
 from efficientspeech_tpu.utils.tools import next_bucket
 
-DEFAULT_PHONEME_BUCKETS = (32, 64, 128, 256)
+DEFAULT_PHONEME_BUCKETS = (32, 64, 128, 256, 512)
 # mel bucket = phoneme bucket × this (LJSpeech averages ~6.5 frames/phoneme;
 # 16× leaves ample headroom before the static buffer truncates)
 MEL_EXPANSION = 16
@@ -318,8 +318,36 @@ class Synthesizer:
         return wav, info
 
     def tts_ids_timed(self, seq: np.ndarray):
-        wav, mel_len, duration = self.synthesize_ids(seq)
-        return wav, mel_len, duration
+        """Synthesize a phoneme sequence of any length: sequences beyond the
+        largest bucket are segmented at pause ({sp}) boundaries — or hard
+        boundaries as a fallback — and the waveforms concatenated (the
+        reference handles arbitrary length eagerly; static shapes segment
+        instead of truncate)."""
+        max_bucket = self.phoneme_buckets[-1]
+        if len(seq) <= max_bucket:
+            return self.synthesize_ids(seq)
+
+        from efficientspeech_tpu.text.symbols import symbols
+
+        sp_id = symbols.index("@sp")
+        segments = []
+        start = 0
+        while len(seq) - start > max_bucket:
+            window = seq[start: start + max_bucket]
+            cut_positions = np.where(window == sp_id)[0]
+            cut = int(cut_positions[-1]) + 1 if len(cut_positions) else max_bucket
+            segments.append(seq[start: start + cut])
+            start += cut
+        if start < len(seq):
+            segments.append(seq[start:])
+
+        wavs, total_mel = [], 0
+        duration = None
+        for seg in segments:
+            w, m, duration = self.synthesize_ids(np.asarray(seg))
+            wavs.append(w)
+            total_mel += m
+        return np.concatenate(wavs), total_mel, duration
 
     def tts_batch(self, texts):
         """Batched synthesis (serving throughput): all texts share one

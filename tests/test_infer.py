@@ -65,3 +65,23 @@ def test_tagalog_char_fallback():
 def test_precompile(synth):
     synth.precompile(texts=["hello there"])
     assert any(k[0] == "fused" for k in synth._jitted)
+
+
+def test_overlong_text_segments(synth):
+    """Sequences beyond the largest bucket are segmented (not truncated)."""
+    # synth fixture caps buckets at (16, 32); build a long sequence with
+    # {sp} pauses sprinkled in
+    from efficientspeech_tpu.text.symbols import symbols
+
+    sp = symbols.index("@sp")
+    rng = np.random.default_rng(7)
+    seq = []
+    for _ in range(8):
+        seq.extend(rng.integers(60, 140, size=9).tolist())
+        seq.append(sp)
+    seq = np.asarray(seq, np.int32)  # length 80 > bucket 32
+    wav, mel_len, _ = synth.tts_ids_timed(seq)
+    assert len(wav) == mel_len * 256
+    # every segment contributes audio
+    wav_short, mel_short, _ = synth.tts_ids_timed(seq[:20])
+    assert mel_len > mel_short
