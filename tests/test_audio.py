@@ -90,3 +90,17 @@ def test_istft_roundtrip():
     # interior reconstruction (edges lose energy to the window taper)
     np.testing.assert_allclose(rec[0, 512:n - 512], y[0, 512:n - 512],
                                atol=1e-3)
+
+
+def test_mel_to_wav_griffin_lim():
+    """Vocoder-free debug path (reference: audio/tools.py:21-34)."""
+    from efficientspeech_tpu.audio.stft import (MelSpectrogram,
+                                                mel_to_wav_griffin_lim)
+
+    rng = np.random.default_rng(3)
+    y = (rng.standard_normal((1, 11025)) * 0.2).astype(np.float32)
+    mel, _ = MelSpectrogram()(jnp.asarray(y))
+    fb = mel_filterbank(22050, 1024, 80, 0, 8000)
+    wav = mel_to_wav_griffin_lim(mel, jnp.asarray(fb), n_iters=3)
+    assert wav.shape[0] == 1 and wav.shape[1] > 0
+    assert bool(jnp.isfinite(wav).all())
