@@ -66,6 +66,13 @@ def write_batch_wavs(wavs: np.ndarray, lengths: np.ndarray, wav_path: str,
     return paths
 
 
+def expand(values: np.ndarray, durations: np.ndarray) -> np.ndarray:
+    """Repeat phoneme-level values to frame rate (host-side, for plotting;
+    reference: utils/tools.py:54-58).  The on-device equivalent is
+    ops.length_regulator.length_regulate."""
+    return np.repeat(np.asarray(values), np.asarray(durations).astype(int))
+
+
 def next_bucket(n: int, buckets: Sequence[int]) -> int:
     """Smallest bucket >= n (jit program cache key)."""
     for b in buckets:
