@@ -49,7 +49,10 @@ class ModelConfig:
     # mel decoder
     n_blocks: int = 2
     block_depth: int = 2
-    decoder_kernel_size: int = 3
+    # reference CLI default --decoder-kernel-size 5 (utils/tools.py); all
+    # named presets use 5 too — a bare ModelConfig() must match so directly
+    # constructed configs load reference checkpoints
+    decoder_kernel_size: int = 5
     n_mel_channels: int = 80
     # dataset normalization stats (stats.json pitch/energy [min, max])
     pitch_stats: Tuple[float, float] = (-2.917079304729967, 11.391254536985771)

@@ -161,8 +161,18 @@ class BucketedLoader:
             phoneme_mask[i, :n] = False
             pitch[i, :n] = s["pitch"][:n]
             energy[i, :n] = s["energy"][:n]
-            duration[i, :n] = s["duration"][:n]
-            m = min(s["mel"].shape[0], m_pad)
+            # Keep durations and the mel valid-region ALIGNED under
+            # truncation (the reference never truncates, datamodule.py:29-76;
+            # static buckets can).  Two cases: (a) phonemes cut at n_pad ⇒
+            # the teacher-forced expansion is sum(duration[:n]) frames, so
+            # mel frames beyond that have no source phoneme and must be
+            # masked out of the loss; (b) mel cut at m_pad ⇒ durations are
+            # clamped so their cumulative sum never exceeds the mel buffer.
+            d = s["duration"][:n].astype(np.int64)
+            prev = np.cumsum(d) - d  # exclusive prefix sum
+            d = np.clip(np.minimum(d, m_pad - prev), 0, None)
+            duration[i, :n] = d
+            m = min(s["mel"].shape[0], m_pad, int(d.sum()))
             mel[i, :m] = s["mel"][:m]
             mel_mask[i, :m] = False
             texts.append(s["text"])

@@ -57,14 +57,18 @@ def make_mel_fn(audio: AudioConfig):
 def create_vocoder_trainer(cfg: HifiGanConfig, audio: AudioConfig,
                            lr: float = 2e-4, b1: float = 0.8,
                            b2: float = 0.99, mel_weight: float = 45.0,
-                           fm_weight: float = 2.0):
+                           fm_weight: float = 2.0,
+                           weight_decay: float = 0.01):
+    """weight_decay defaults to 0.01 = torch.optim.AdamW's default, which is
+    what the upstream HiFi-GAN recipe (train.py optim.AdamW) actually uses;
+    optax.adamw's own default (1e-4) silently differs."""
     gen = HifiGanGenerator(cfg)
     mpd = MultiPeriodDiscriminator()
     msd = MultiScaleDiscriminator()
     mel_of = make_mel_fn(audio)
 
-    gen_tx = optax.adamw(lr, b1=b1, b2=b2)
-    disc_tx = optax.adamw(lr, b1=b1, b2=b2)
+    gen_tx = optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
+    disc_tx = optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
 
     def init(rng, gen_params, segment: int = 8192):
         wav = jnp.zeros((1, segment))

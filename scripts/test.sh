@@ -3,6 +3,10 @@
 # (tests never need the real chip; this also keeps them runnable while a
 # benchmark holds the TPU claim).
 cd "$(dirname "$0")/.."
+# build the native pitch library on demand (the .so is not checked in)
+if [ ! -f native/libespitch.so ] && command -v g++ >/dev/null; then
+    make -C native >/dev/null 2>&1 || true
+fi
 exec env PALLAS_AXON_POOL_IPS= PYTHONPATH= JAX_PLATFORMS=cpu \
     XLA_FLAGS="--xla_force_host_platform_device_count=8" \
     python -m pytest tests/ "$@"
