@@ -52,6 +52,13 @@ def main():
                              "with batched synthesis")
     parser.add_argument("--batch", type=int, default=16,
                         help="batch size for --metric batch_rtf")
+    parser.add_argument("--transfer", default="mulaw",
+                        choices=["f32", "int16", "mulaw"],
+                        help="device→host PCM wire format.  mulaw (8-bit "
+                             "telephony-grade) is the serving default here "
+                             "because the tunneled device→host transfer "
+                             "dominates latency; use int16 for bit-exact "
+                             "WAV output")
     parser.add_argument("--profile", default=None,
                         help="write a jax.profiler trace to this directory")
     parser.add_argument("--verbose", action="store_true")
@@ -73,6 +80,7 @@ def main():
     synth = build_synthesizer(
         preset=args.preset, checkpoint=args.checkpoint,
         hifigan_checkpoint=hifigan_ckpt, dtype=dtype,
+        transfer=args.transfer,
         # random-init duration head predicts ~0 frames; bias it to the
         # LJSpeech mean (~6 frames/phoneme) so the benchmark exercises
         # realistic sequence lengths

@@ -147,19 +147,20 @@ def main():
                               dtype=jnp.bfloat16, bench_duration_bias=6.0)
     seq = synth.phonemize(LONG_TEXT)
     phoneme, pad_mask, bucket = synth._pad_to_bucket(seq)
-    fused = synth._get_fused(bucket)
-    out = fused(phoneme, pad_mask)
+    spec = synth._spec_frames(len(seq), bucket)
+    fused = synth._get_fused(bucket, spec)
+    out = fused(phoneme)
     jax.block_until_ready(out)
     print(f"E6 program ready: bucket={bucket} pcm={out[0].shape} "
           f"{out[0].dtype}", flush=True)
 
     # enqueue cost with numpy args
-    ts = timeloop(lambda: None if fused(phoneme, pad_mask) else None, n=N)
+    ts = timeloop(lambda: None if fused(phoneme) else None, n=N)
     print(f"E6a fused enqueue (numpy args): {med_ms(ts):8.2f} ms", flush=True)
 
     # blocked, fetch mel_len only (tiny) — isolates execute+RTT from payload
     def exec_tiny_fetch():
-        pcm, mel_len, dur = fused(phoneme, pad_mask)
+        pcm, mel_len, dur = fused(phoneme)
         jax.device_get(mel_len)
 
     ts = timeloop(exec_tiny_fetch, n=N)
@@ -167,7 +168,7 @@ def main():
 
     # blocked, fetch pcm + mel_len (current serving path)
     def exec_full_fetch():
-        pcm, mel_len, dur = fused(phoneme, pad_mask)
+        pcm, mel_len, dur = fused(phoneme)
         jax.device_get((pcm, mel_len))
 
     ts = timeloop(exec_full_fetch, n=N)
@@ -180,7 +181,7 @@ def main():
             inflight = []
             t0 = time.time()
             for i in range(iters):
-                pcm, mel_len, dur = fused(phoneme, pad_mask)
+                pcm, mel_len, dur = fused(phoneme)
                 try:
                     pcm.copy_to_host_async()
                 except Exception:

@@ -106,7 +106,12 @@ class BucketedLoader:
                  max_phoneme_len: Optional[int] = None,
                  max_mel_len: Optional[int] = None,
                  drop_last: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 fixed_shape: bool = False):
+        """fixed_shape: pad every batch to (max_phoneme_len, max_mel_len)
+        instead of per-batch rounded maxima — ONE compiled program per batch
+        size for the whole pass.  Use for validation, where remote compiles
+        (minutes each on tunneled TPUs) would otherwise fire per shape."""
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -115,6 +120,10 @@ class BucketedLoader:
         self.mel_multiple = mel_multiple
         self.max_phoneme_len = max_phoneme_len
         self.max_mel_len = max_mel_len
+        self.fixed_shape = fixed_shape
+        if fixed_shape and not (max_phoneme_len and max_mel_len):
+            raise ValueError("fixed_shape requires max_phoneme_len and "
+                             "max_mel_len")
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
@@ -140,12 +149,15 @@ class BucketedLoader:
         b = len(samples)
         n_max = max(len(s["phoneme"]) for s in samples)
         m_max = max(s["mel"].shape[0] for s in samples)
-        n_pad = _round_up(n_max, self.phoneme_multiple)
-        m_pad = _round_up(m_max, self.mel_multiple)
-        if self.max_phoneme_len:
-            n_pad = min(n_pad, self.max_phoneme_len)
-        if self.max_mel_len:
-            m_pad = min(m_pad, self.max_mel_len)
+        if self.fixed_shape:
+            n_pad, m_pad = self.max_phoneme_len, self.max_mel_len
+        else:
+            n_pad = _round_up(n_max, self.phoneme_multiple)
+            m_pad = _round_up(m_max, self.mel_multiple)
+            if self.max_phoneme_len:
+                n_pad = min(n_pad, self.max_phoneme_len)
+            if self.max_mel_len:
+                m_pad = min(m_pad, self.max_mel_len)
 
         phoneme = np.zeros((b, n_pad), np.int32)
         phoneme_mask = np.ones((b, n_pad), bool)

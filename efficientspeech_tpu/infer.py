@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from efficientspeech_tpu.audio.transfer import decode_host, encode_device
 from efficientspeech_tpu.config import (
     HifiGanConfig,
     ModelConfig,
@@ -25,12 +26,21 @@ from efficientspeech_tpu.models import EfficientSpeech, HifiGanGenerator
 from efficientspeech_tpu.models.hifigan import chunked_vocoder_call
 from efficientspeech_tpu.models.phoneme2mel import Phoneme2Mel
 from efficientspeech_tpu.text.g2p import get_lexicon_and_g2p, text2phoneme
+from efficientspeech_tpu.text.symbols import PAD_ID
 from efficientspeech_tpu.utils.tools import next_bucket
 
 DEFAULT_PHONEME_BUCKETS = (32, 64, 128, 256, 512)
 # mel bucket = phoneme bucket × this (LJSpeech averages ~6.5 frames/phoneme;
 # 16× leaves ample headroom before the static buffer truncates)
 MEL_EXPANSION = 16
+# the fused serving program sizes its mel/PCM buffers SPECULATIVELY from the
+# phoneme count (pow2-quantized, so few compiles): vocoder FLOPs and —
+# critically on tunneled TPUs — the PCM fetch bytes scale with the expected
+# utterance length instead of the 16× worst case.  8 frames/phoneme is ~25%
+# headroom over LJSpeech's ~6.5 mean; an undershoot falls back to the 16×
+# program (one extra round trip, rare).
+SPEC_EXPANSION = 8
+SPEC_MIN_FRAMES = 512
 
 
 class Synthesizer:
@@ -45,12 +55,21 @@ class Synthesizer:
                  phoneme_buckets=DEFAULT_PHONEME_BUCKETS,
                  mel_expansion: int = MEL_EXPANSION,
                  vocoder_mode: str = "folded",
-                 fused_pipeline: bool = True):
+                 fused_pipeline: bool = True,
+                 transfer: str = "int16",
+                 spec_expansion: int = SPEC_EXPANSION):
+        """transfer: device→host wire format for the fused pipeline —
+        "int16" (bit-exact w.r.t. the written WAV), "mulaw" (8-bit
+        telephony-grade; halves the dominant fetch on tunneled links) or
+        "f32" (exact floats)."""
         self.cfg = cfg
         self.hifigan_cfg = hifigan_cfg
         self.params = params
         self.vocoder_mode = vocoder_mode
         self.fused_pipeline = fused_pipeline
+        self.transfer = transfer
+        self.spec_expansion = spec_expansion
+        self.spec_min_frames = SPEC_MIN_FRAMES
         self._folded_params = None
         self._packed_folded = None
         self.preprocess_cfg = preprocess_cfg or PreprocessConfig()
@@ -71,12 +90,20 @@ class Synthesizer:
     VOCODER_CHUNK = 128
     VOCODER_HALO = 16  # > generator receptive field (~13.7 frames)
 
-    def _get_fused(self, bucket: int):
-        """One program: phonemes → int16 PCM + mel_len.  With the folded
-        vocoder the full-mel-bucket waste is a few ms, far cheaper than the
-        extra dispatch/fetch round trips of a split pipeline on high-latency
-        links; single dispatch + single fused fetch."""
-        key = ("fused", self.vocoder_mode, bucket)
+    def _get_fused(self, bucket: int, out_frames: Optional[int] = None):
+        """One program: phoneme IDs → wire-encoded PCM + mel_len + duration.
+
+        Exactly ONE small upload (the phoneme IDs; the pad mask is derived
+        on device as ``phoneme == PAD_ID``), one dispatch, one fetch.  The
+        mel/PCM buffers are sized to ``out_frames`` (speculative, from the
+        phoneme count) instead of the 16× worst case: on tunneled TPUs both
+        the vocoder FLOPs and — dominant — the PCM transfer bytes scale
+        with it.  ``pred["mel_len"]`` is returned unclamped so the caller
+        can detect speculation undershoot and fall back to the full-size
+        program."""
+        if out_frames is None:
+            out_frames = bucket * self.mel_expansion
+        key = ("fused", self.vocoder_mode, self.transfer, bucket, out_frames)
         fn = self._jitted.get(key)
         if fn is None:
             import dataclasses
@@ -84,12 +111,13 @@ class Synthesizer:
             model = Phoneme2Mel(
                 cfg=dataclasses.replace(
                     self.cfg, max_phoneme_len=bucket,
-                    max_mel_len=bucket * self.mel_expansion),
+                    max_mel_len=out_frames),
                 dtype=self.dtype)
             self._ensure_folded()
             arrays, meta = self._folded_params
             cfg = self.hifigan_cfg
             dtype = self.dtype
+            fmt = self.transfer
             use_pallas = self.vocoder_mode == "folded_pallas"
 
             from efficientspeech_tpu.models.hifigan_folded import (
@@ -111,7 +139,8 @@ class Synthesizer:
             widths = meta["widths"]
 
             @jax.jit
-            def fused(flat_w, phoneme, pad_mask):
+            def fused(flat_w, phoneme):
+                pad_mask = phoneme == PAD_ID
                 arrs = unpack_folded(flat_w, layout, widths)
                 pred = model.apply({"params": acoustic_params}, phoneme,
                                    pad_mask, train=False)
@@ -120,15 +149,24 @@ class Synthesizer:
                 wav = folded_plan_apply(arrs, meta, cfg, pred["mel"],
                                         valid_len=mel_len, dtype=dtype,
                                         use_pallas=use_pallas)
-                pcm = jnp.clip(wav.astype(jnp.float32) * 32768.0,
-                               -32768.0, 32767.0).astype(jnp.int16)
-                return pcm, pred["mel_len"], pred["duration"]
+                return (encode_device(wav, fmt), pred["mel_len"],
+                        pred["duration"])
 
-            def call(phoneme, pad_mask):
-                return fused(self._packed_folded[0], phoneme, pad_mask)
+            def call(phoneme):
+                return fused(self._packed_folded[0], phoneme)
 
             self._jitted[key] = fn = call
         return fn
+
+    def _spec_frames(self, n_phonemes: int, bucket: int) -> int:
+        """Pow2-quantized speculative mel-frame count for a phoneme count
+        (few distinct values ⇒ few compiled programs)."""
+        need = max(self.spec_min_frames, n_phonemes * self.spec_expansion)
+        f = self.spec_min_frames
+        cap = bucket * self.mel_expansion
+        while f < need and f < cap:
+            f *= 2
+        return min(f, cap)
 
     def _ensure_folded(self):
         if self._folded_params is None:
@@ -250,13 +288,23 @@ class Synthesizer:
         phoneme, pad_mask, bucket = self._pad_to_bucket(seq)
 
         if self.fused_pipeline and self.vocoder_mode != "chunked":
-            fused = self._get_fused(bucket)
-            pcm, mel_len_arr, duration = fused(phoneme, pad_mask)
+            n_valid = int(min(len(seq), bucket))
+            spec = self._spec_frames(n_valid, bucket)
+            fused = self._get_fused(bucket, spec)
+            pcm, mel_len_arr, duration = fused(phoneme)
             pcm_np, mel_len_np = jax.device_get((pcm, mel_len_arr))
-            mel_len = min(int(mel_len_np[0]),
-                          bucket * self.mel_expansion)
-            wav = pcm_np[0, : mel_len * self.hifigan_cfg.total_upsample]
-            return wav.astype(np.float32) / 32768.0, mel_len, duration
+            mel_len = int(mel_len_np[0])
+            if mel_len > spec:  # speculation undershot: full-size re-run
+                full = bucket * self.mel_expansion
+                if spec < full:
+                    fused = self._get_fused(bucket, full)
+                    pcm, mel_len_arr, duration = fused(phoneme)
+                    pcm_np, mel_len_np = jax.device_get((pcm, mel_len_arr))
+                mel_len = min(int(mel_len_np[0]), full)
+            wav = decode_host(
+                pcm_np[0, : mel_len * self.hifigan_cfg.total_upsample],
+                self.transfer)
+            return wav, mel_len, duration
 
         n_valid = int(min(len(seq), self.phoneme_buckets[-1]))
         acoustic = self._get_acoustic(bucket)
@@ -317,15 +365,14 @@ class Synthesizer:
                   f"RTF: {info['rtf']:.1f}")
         return wav, info
 
-    def tts_ids_timed(self, seq: np.ndarray):
-        """Synthesize a phoneme sequence of any length: sequences beyond the
-        largest bucket are segmented at pause ({sp}) boundaries — or hard
-        boundaries as a fallback — and the waveforms concatenated (the
-        reference handles arbitrary length eagerly; static shapes segment
-        instead of truncate)."""
+    def _segment(self, seq: np.ndarray):
+        """Split a phoneme sequence exceeding the largest bucket at pause
+        ({sp}) boundaries — or hard boundaries as a fallback (the reference
+        handles arbitrary length eagerly; static shapes segment instead of
+        truncate)."""
         max_bucket = self.phoneme_buckets[-1]
         if len(seq) <= max_bucket:
-            return self.synthesize_ids(seq)
+            return [np.asarray(seq)]
 
         from efficientspeech_tpu.text.symbols import symbols
 
@@ -336,23 +383,84 @@ class Synthesizer:
             window = seq[start: start + max_bucket]
             cut_positions = np.where(window == sp_id)[0]
             cut = int(cut_positions[-1]) + 1 if len(cut_positions) else max_bucket
-            segments.append(seq[start: start + cut])
+            segments.append(np.asarray(seq[start: start + cut]))
             start += cut
         if start < len(seq):
-            segments.append(seq[start:])
+            segments.append(np.asarray(seq[start:]))
+        return segments
+
+    def tts_ids_timed(self, seq: np.ndarray):
+        """Synthesize a phoneme sequence of any length (segments beyond the
+        largest bucket, concatenates the waveforms)."""
+        segments = self._segment(seq)
+        if len(segments) == 1:
+            return self.synthesize_ids(segments[0])
 
         wavs, total_mel = [], 0
         duration = None
         for seg in segments:
-            w, m, duration = self.synthesize_ids(np.asarray(seg))
+            w, m, duration = self.synthesize_ids(seg)
             wavs.append(w)
             total_mel += m
         return np.concatenate(wavs), total_mel, duration
 
     def tts_batch(self, texts):
-        """Batched synthesis (serving throughput): all texts share one
-        acoustic program (common phoneme bucket) and one vocoder dispatch.
-        Returns a list of (wav float32, info)."""
+        """Batched synthesis (serving throughput): texts are phonemized,
+        overlong ones segmented at {sp} pauses (never silently truncated),
+        and ALL segments run through ONE fused single-dispatch program
+        (speculatively sized, wire-encoded) — one dispatch + one fetch for
+        the whole batch.  Returns a list of (wav float32, info) per text."""
+        if not (self.fused_pipeline and self.vocoder_mode != "chunked"):
+            return self._tts_batch_split(texts)
+
+        seqs = [self.phonemize(t) for t in texts]
+        rows, owner = [], []
+        for ti, s in enumerate(seqs):
+            for seg in self._segment(s):
+                rows.append(seg)
+                owner.append(ti)
+
+        b = len(rows)
+        max_len = max(len(r) for r in rows)
+        bucket = next_bucket(max_len, self.phoneme_buckets)
+        spec = self._spec_frames(min(max_len, bucket), bucket)
+        phoneme = np.zeros((b, bucket), np.int32)
+        for i, r in enumerate(rows):
+            phoneme[i, : len(r)] = r[: bucket]
+
+        t0 = time.time()
+        fused = self._get_fused(bucket, spec)
+        pcm, mel_len_arr, _ = fused(phoneme)
+        pcm_np, mel_lens = jax.device_get((pcm, mel_len_arr))
+        full = bucket * self.mel_expansion
+        if mel_lens.max() > spec and spec < full:  # undershoot: re-run full
+            fused = self._get_fused(bucket, full)
+            pcm, mel_len_arr, _ = fused(phoneme)
+            pcm_np, mel_lens = jax.device_get((pcm, mel_len_arr))
+        mel_lens = np.minimum(mel_lens, pcm_np.shape[1]
+                              // self.hifigan_cfg.total_upsample)
+        elapsed = time.time() - t0
+
+        up = self.hifigan_cfg.total_upsample
+        per_text_wavs = [[] for _ in texts]
+        per_text_mel = [0] * len(texts)
+        for i in range(b):
+            w = decode_host(pcm_np[i, : int(mel_lens[i]) * up],
+                            self.transfer)
+            per_text_wavs[owner[i]].append(w)
+            per_text_mel[owner[i]] += int(mel_lens[i])
+        out = []
+        for ti in range(len(texts)):
+            w = (np.concatenate(per_text_wavs[ti]) if per_text_wavs[ti]
+                 else np.zeros(0, np.float32))
+            out.append((w, {"voice_secs": len(w) / self.sampling_rate,
+                            "batch_secs": elapsed,
+                            "mel_len": per_text_mel[ti]}))
+        return out
+
+    def _tts_batch_split(self, texts):
+        """Split-pipeline batched synthesis (acoustic program + separate
+        vocoder dispatch); kept for the chunked vocoder mode."""
         seqs = [self.phonemize(t) for t in texts]
         b = len(seqs)
         bucket = next_bucket(max(len(s) for s in seqs), self.phoneme_buckets)
@@ -389,19 +497,28 @@ class Synthesizer:
                             "mel_len": int(mel_lens[i])}))
         return out
 
-    def precompile(self, texts=None, buckets=None):
+    def precompile(self, texts=None, buckets=None, full: bool = False):
         """Compile serving programs ahead of traffic: one fused program per
-        requested bucket (from sample texts and/or explicit bucket sizes)."""
-        buckets = set(buckets or [])
+        (bucket, speculative-size) shape implied by sample texts and/or
+        explicit bucket sizes.  ``full=True`` additionally compiles the
+        16×-expansion fallback programs (used when speculation undershoots)."""
+        shapes = set()
         for text in texts or []:
             seq = self.phonemize(text)
-            buckets.add(next_bucket(len(seq), self.phoneme_buckets))
-        for b in sorted(buckets):
+            b = next_bucket(len(seq), self.phoneme_buckets)
+            shapes.add((b, self._spec_frames(min(len(seq), b), b)))
+            if full:
+                shapes.add((b, b * self.mel_expansion))
+        for b in buckets or []:
+            shapes.add((b, self._spec_frames(b, b)))
+            if full:
+                shapes.add((b, b * self.mel_expansion))
+        for b, frames in sorted(shapes):
             if self.fused_pipeline and self.vocoder_mode != "chunked":
-                self._get_fused(b)
+                self._get_fused(b, frames)
             else:
                 self._get_acoustic(b)
-        return sorted(buckets)
+        return sorted(shapes)
 
     def warmup(self, text: str, iters: int = 10):
         """Compile + warm both pipeline programs for this text's buckets
@@ -421,7 +538,8 @@ def build_synthesizer(preset: str = "tiny",
                       stats: Optional[dict] = None,
                       dtype=jnp.bfloat16,
                       seed: int = 0,
-                      bench_duration_bias: Optional[float] = None) -> Synthesizer:
+                      bench_duration_bias: Optional[float] = None,
+                      transfer: str = "int16") -> Synthesizer:
     """Build a Synthesizer from a reference torch checkpoint (converted) or
     random init (+ the bundled HiFi-GAN weights when available).
 
@@ -482,4 +600,5 @@ def build_synthesizer(preset: str = "tiny",
             num_kernels=len(hifigan_cfg.resblock_kernel_sizes))
 
     return Synthesizer(cfg, hifigan_cfg, params,
-                       preprocess_cfg=preprocess_cfg, dtype=dtype)
+                       preprocess_cfg=preprocess_cfg, dtype=dtype,
+                       transfer=transfer)

@@ -90,14 +90,20 @@ class Trainer:
             self.val_ds, train_cfg.batch_size, shuffle=False,
             max_phoneme_len=model_cfg.max_phoneme_len,
             max_mel_len=model_cfg.max_mel_len,
+            # ONE static shape for the whole val pass: remote compiles cost
+            # minutes, so eval_step must not recompile per batch shape
+            fixed_shape=True,
             # sharded eval needs batch % data-axis == 0
             drop_last=data_size > 1)
 
         self.steps_per_epoch = max(1, len(self.train_loader))
-        self.tx = make_optimizer(train_cfg, self.steps_per_epoch)
+        # one schedule object feeds BOTH the optimizer and the logged lr —
+        # constructing them separately invites silent drift
         self.lr_schedule = warmup_cosine_schedule(
             train_cfg.lr, train_cfg.warmup_epochs, train_cfg.max_epochs,
             self.steps_per_epoch)
+        self.tx = make_optimizer(train_cfg, self.steps_per_epoch,
+                                 schedule=self.lr_schedule)
 
         params = self._init_params()
         self.state = create_train_state({"phoneme2mel": params}, train_cfg,
@@ -108,6 +114,7 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.tx, mesh=self.mesh)
         self.eval_step = make_eval_step(self.model, mesh=self.mesh)
         self._vocoder = None
+        self._val_predict = None
 
     def _init_params(self):
         b = self.train_cfg.batch_size
@@ -132,16 +139,19 @@ class Trainer:
         return int(jax.device_get(self.state.step))
 
     def evaluate(self) -> Dict[str, float]:
-        """Teacher-forced losses over the validation set (epoch-averaged)."""
+        """Teacher-forced losses over the validation set, averaged with
+        per-sample weights (a partial final batch contributes
+        proportionally, not equally)."""
         sums: Dict[str, float] = {}
         count = 0
         for batch in self.val_loader:
             host = {k: v for k, v in batch.items() if k != "text"}
+            b = len(batch["text"])
             metrics = self.eval_step(self.state.params,
                                      shard_batch(host, self.mesh))
             for k, v in jax.device_get(metrics).items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
+                sums[k] = sums.get(k, 0.0) + float(v) * b
+            count += b
         return {k.replace("_loss", ""): v / max(count, 1)
                 for k, v in sums.items()}
 
@@ -159,18 +169,34 @@ class Trainer:
             self._vocoder = vocode
         return self._vocoder
 
+    def _get_val_predict(self):
+        """Jitted free-running acoustic forward for validation dumps — a
+        bare ``.apply`` here would dispatch op-by-op (pathological on
+        tunneled TPUs) and pull params to the host every validation."""
+        if self._val_predict is None:
+            infer_model = Phoneme2Mel(self.model_cfg, dtype=self.dtype)
+            max_mel = self.model_cfg.max_mel_len
+
+            @jax.jit
+            def predict(params, phoneme, mask):
+                pred = infer_model.apply({"params": params["phoneme2mel"]},
+                                         phoneme, mask, train=False)
+                return pred["mel"], jnp.minimum(pred["mel_len"], max_mel)
+
+            self._val_predict = predict
+        return self._val_predict
+
     def validate_audio(self, epoch: int):
         vocode = self._get_vocoder()
         if vocode is None:
             return
         batch = next(iter(self.val_loader))
-        infer_model = Phoneme2Mel(self.model_cfg, dtype=self.dtype)
-        pred = infer_model.apply(
-            {"params": jax.device_get(self.state.params)["phoneme2mel"]},
-            jnp.asarray(batch["phoneme"]), jnp.asarray(batch["phoneme_mask"]),
-            train=False)
-        mel_len = jnp.minimum(pred["mel_len"], self.model_cfg.max_mel_len)
-        wavs = vocode(self.hifigan_params, pred["mel"], mel_len)
+        # device-resident params, one compiled program (the val loader's
+        # fixed_shape guarantees a single static batch shape)
+        mel, mel_len = self._get_val_predict()(
+            self.state.params, jnp.asarray(batch["phoneme"]),
+            jnp.asarray(batch["phoneme_mask"]))
+        wavs = vocode(self.hifigan_params, mel, mel_len)
         hop = self.preprocess_cfg.audio.hop_length
         lengths = np.asarray(jax.device_get(mel_len)) * hop
         write_batch_wavs(np.asarray(jax.device_get(wavs), np.float32),

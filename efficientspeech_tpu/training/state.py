@@ -35,10 +35,14 @@ class TrainState:
         return {**self.params, **self.frozen}
 
 
-def make_optimizer(train_cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
-    schedule = warmup_cosine_schedule(
-        train_cfg.lr, train_cfg.warmup_epochs, train_cfg.max_epochs,
-        steps_per_epoch)
+def make_optimizer(train_cfg: TrainConfig, steps_per_epoch: int,
+                   schedule=None) -> optax.GradientTransformation:
+    """schedule: pass a shared schedule object (e.g. the one used for lr
+    logging) to guarantee optimizer and logs can never drift apart."""
+    if schedule is None:
+        schedule = warmup_cosine_schedule(
+            train_cfg.lr, train_cfg.warmup_epochs, train_cfg.max_epochs,
+            steps_per_epoch)
     return optax.adamw(schedule, weight_decay=train_cfg.weight_decay)
 
 

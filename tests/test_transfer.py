@@ -1,0 +1,141 @@
+"""Wire-codec + speculative fused-pipeline tests (round 2 latency work).
+
+Covers: µ-law round-trip accuracy, transfer-format equivalence through the
+full fused pipeline, speculation-undershoot fallback, and the unified
+batched path (fused single dispatch, segmentation instead of truncation).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from efficientspeech_tpu.audio.transfer import (
+    bytes_per_sample,
+    decode_host,
+    encode_device,
+)
+from efficientspeech_tpu.infer import build_synthesizer
+
+
+def test_mulaw_roundtrip_accuracy():
+    """µ-law encode(device fn)→decode(host LUT): error bounded by the
+    companding quantization step (y-step 2/255 → ~2.2% of full scale at
+    |x|=1, shrinking exponentially toward small amplitudes)."""
+    x = np.linspace(-1, 1, 4001).astype(np.float32)
+    u8 = np.asarray(encode_device(jnp.asarray(x), "mulaw"))
+    assert u8.dtype == np.uint8
+    y = decode_host(u8, "mulaw")
+    assert np.abs(y - x).max() < 0.022
+    # small amplitudes get FINER resolution (companding): err < 0.1% there
+    small = np.abs(x) < 0.01
+    assert np.abs(y - x)[small].max() < 1e-3
+
+
+def test_mulaw_snr_speechlike():
+    """SNR of µ-law on a speech-like signal must be telephony-grade."""
+    rng = np.random.default_rng(0)
+    t = np.arange(22050) / 22050
+    x = (0.5 * np.sin(2 * np.pi * 180 * t) * np.exp(-2 * t)
+         + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    x = np.clip(x, -1, 1)
+    y = decode_host(np.asarray(encode_device(jnp.asarray(x), "mulaw")),
+                    "mulaw")
+    snr = 10 * np.log10((x ** 2).sum() / ((x - y) ** 2).sum())
+    assert snr > 30.0, snr
+
+
+def test_int16_and_f32_roundtrip():
+    x = np.linspace(-0.999, 0.999, 1001).astype(np.float32)
+    i16 = np.asarray(encode_device(jnp.asarray(x), "int16"))
+    assert i16.dtype == np.int16
+    np.testing.assert_allclose(decode_host(i16, "int16"), x, atol=1 / 32768)
+    f32 = np.asarray(encode_device(jnp.asarray(x), "f32"))
+    np.testing.assert_array_equal(decode_host(f32, "f32"), x)
+    assert (bytes_per_sample("f32"), bytes_per_sample("int16"),
+            bytes_per_sample("mulaw")) == (4, 2, 1)
+
+
+@pytest.fixture(scope="module")
+def synth():
+    s = build_synthesizer(preset="tiny", hifigan_checkpoint="",
+                          dtype=jnp.float32, bench_duration_bias=4.0)
+    s.phoneme_buckets = (16, 32)
+    s.mel_expansion = 6
+    s.spec_min_frames = 32
+    return s
+
+
+def test_transfer_formats_agree(synth):
+    """f32 / int16 / mulaw through the FULL fused pipeline produce the same
+    waveform up to the codec's quantization error."""
+    text = "the quick brown fox"
+    outs = {}
+    for fmt in ("f32", "int16", "mulaw"):
+        synth.transfer = fmt
+        wav, info = synth.tts(text)
+        outs[fmt] = wav
+    synth.transfer = "int16"
+    assert len(outs["f32"]) == len(outs["int16"]) == len(outs["mulaw"])
+    np.testing.assert_allclose(outs["int16"], outs["f32"], atol=1 / 32768)
+    peak = np.abs(outs["f32"]).max() + 1e-9
+    assert np.abs(outs["mulaw"] - outs["f32"]).max() < max(0.022, 0.03 * peak)
+
+
+def test_speculation_fallback_matches_full(synth):
+    """Force an undershoot (spec_expansion=1): the fallback re-run must give
+    the same audio as running the full-size program directly."""
+    text = "hello speculative world"
+    synth.transfer = "f32"
+    old = synth.spec_expansion
+    try:
+        synth.spec_expansion = 16  # spec == full for these tiny buckets? no:
+        # mel_expansion=6, so full = bucket*6; force spec < full via exp 1
+        synth.spec_expansion = 1
+        wav_fallback, info1 = synth.tts(text)
+        synth.spec_expansion = 100  # always full-size program directly
+        wav_full, info2 = synth.tts(text)
+    finally:
+        synth.spec_expansion = old
+        synth.transfer = "int16"
+    assert info1["mel_len"] == info2["mel_len"]
+    np.testing.assert_allclose(wav_fallback, wav_full, atol=2e-5)
+
+
+def test_tts_batch_fused_matches_single(synth):
+    """Batched fused synthesis == per-text synthesis (same programs,
+    batched dispatch)."""
+    synth.transfer = "f32"
+    try:
+        texts = ["hello world", "a much longer sentence spoken here",
+                 "hi"]
+        outs = synth.tts_batch(texts)
+        assert len(outs) == len(texts)
+        for text, (wav_b, info) in zip(texts, outs):
+            wav_s, _, _ = synth.tts_ids_timed(synth.phonemize(text))
+            assert info["mel_len"] * 256 == len(wav_b)
+            assert len(wav_b) == len(wav_s)
+            np.testing.assert_allclose(wav_b, wav_s, atol=2e-5)
+    finally:
+        synth.transfer = "int16"
+
+
+def test_tts_batch_segments_overlong_text(synth):
+    """A text beyond the largest bucket must be segmented in the batched
+    path (round 1 silently truncated it) and match the single-stream
+    segmented output."""
+    from efficientspeech_tpu.text.symbols import symbols
+
+    synth.transfer = "f32"
+    try:
+        # build an overlong TEXT by repetition; phonemize yields > 32 ids
+        long_text = "hello there my friend " * 8
+        seq = synth.phonemize(long_text)
+        assert len(seq) > synth.phoneme_buckets[-1]
+        outs = synth.tts_batch([long_text, "short one"])
+        wav_long, _ = outs[0]
+        wav_ref, mel_ref, _ = synth.tts_ids_timed(seq)
+        assert len(wav_long) == len(wav_ref)  # nothing truncated
+        np.testing.assert_allclose(wav_long, wav_ref, atol=2e-5)
+    finally:
+        synth.transfer = "int16"
