@@ -1,18 +1,17 @@
 """Fundamental-frequency (F0) extraction.
 
 The reference uses pyworld's DIO + StoneMask C implementation
-(reference: preprocessor/preprocessor.py:182-187).  When ``pyworld`` is
-installed it is used verbatim for exact stats parity.  Otherwise this module
-provides two backends:
+(reference: preprocessor/preprocessor.py:182-187).  Backend order here:
 
-- a native C++ YIN extractor (``native/pitch.cpp`` via ctypes) when the
-  shared library has been built (``make -C native``),
-- a vectorized numpy YIN (de Cheveigné & Kawahara 2002) fallback.
+- ``pyworld`` verbatim when installed (bit-exact stats parity),
+- the native numpy DIO + StoneMask port (``audio/dio.py``) — the DEFAULT
+  in this environment; same algorithm family, <1 Hz on synthetic tests,
+- YIN (C++ ``native/pitch.cpp`` via ctypes, else vectorized numpy; de
+  Cheveigné & Kawahara 2002) kept only as an explicit ``backend="yin"``
+  fallback from round 1.
 
-YIN is a different estimator than DIO; voiced-frame F0 values typically
-agree within a few Hz, which is sufficient for the phoneme-averaged,
-z-normalized pitch conditioning this model trains on, but ``stats.json``
-won't be bit-identical to a pyworld-built dataset.
+stats.json records the extractor that built a dataset (see
+data/preprocessor.py) so mixed-extractor datasets are detectable.
 """
 
 import ctypes
@@ -138,17 +137,37 @@ def yin_pitch_native(wav: np.ndarray, sr: int, hop: int,
     return out.astype(np.float64)
 
 
-def extract_pitch(wav: np.ndarray, sr: int, hop: int) -> np.ndarray:
-    """Frame-rate F0 (0 where unvoiced); pyworld DIO+StoneMask when
-    installed (reference parity), else native C++ YIN, else numpy YIN."""
+def extractor_name() -> str:
+    """Which backend extract_pitch() will use (stamped into stats.json so
+    mixed-extractor datasets are detectable)."""
     if _pw is not None:
-        f0, t = _pw.dio(wav.astype(np.float64), sr,
-                        frame_period=hop / sr * 1000)
-        return _pw.stonemask(wav.astype(np.float64), f0, t, sr)
-    native = yin_pitch_native(wav, sr, hop)
-    if native is not None:
-        return native
-    return yin_pitch_numpy(wav, sr, hop)
+        return "pyworld_dio_stonemask"
+    return "native_dio_stonemask"
+
+
+def extract_pitch(wav: np.ndarray, sr: int, hop: int,
+                  backend: str = "auto") -> np.ndarray:
+    """Frame-rate F0 (0 where unvoiced), the reference's DIO+StoneMask
+    recipe (reference: preprocessor/preprocessor.py:182-187).
+
+    backend: "auto" = pyworld when installed (bit-exact reference parity),
+    else the native numpy DIO+StoneMask port (audio/dio.py).  "yin" keeps
+    the round-1 YIN estimator (C++ when built, else numpy) as a fallback —
+    a different algorithm; do not mix datasets across backends."""
+    if backend == "auto":
+        if _pw is not None:
+            f0, t = _pw.dio(wav.astype(np.float64), sr,
+                            frame_period=hop / sr * 1000)
+            return _pw.stonemask(wav.astype(np.float64), f0, t, sr)
+        from efficientspeech_tpu.audio.dio import dio_stonemask
+
+        return dio_stonemask(np.asarray(wav, np.float64), sr, hop)
+    if backend == "yin":
+        native = yin_pitch_native(wav, sr, hop)
+        if native is not None:
+            return native
+        return yin_pitch_numpy(wav, sr, hop)
+    raise ValueError(f"unknown pitch backend {backend!r}")
 
 
 def interpolate_unvoiced(pitch: np.ndarray) -> np.ndarray:

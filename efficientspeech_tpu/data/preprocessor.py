@@ -245,12 +245,18 @@ class Preprocessor:
 
         with open(os.path.join(self.out_dir, "speakers.json"), "w") as f:
             json.dump(speakers, f)
+        from efficientspeech_tpu.audio.pitch import extractor_name
+
         with open(os.path.join(self.out_dir, "stats.json"), "w") as f:
             json.dump({
                 "pitch": [float(pitch_min), float(pitch_max),
                           float(pitch_mean), float(pitch_std)],
                 "energy": [float(energy_min), float(energy_max),
                            float(energy_mean), float(energy_std)],
+                # extra key (the reference writes only pitch/energy):
+                # records which F0 backend built this dataset so
+                # mixed-extractor datasets are detectable
+                "pitch_extractor": extractor_name(),
             }, f)
 
         if verbose:

@@ -421,10 +421,15 @@ class Synthesizer:
                 owner.append(ti)
 
         b = len(rows)
+        # pad the batch dim to a power of two: one compiled program serves
+        # all request sizes up to it (extra rows are all-PAD ⇒ mel_len 0)
+        b_pad = 1
+        while b_pad < b:
+            b_pad *= 2
         max_len = max(len(r) for r in rows)
         bucket = next_bucket(max_len, self.phoneme_buckets)
         spec = self._spec_frames(min(max_len, bucket), bucket)
-        phoneme = np.zeros((b, bucket), np.int32)
+        phoneme = np.zeros((b_pad, bucket), np.int32)
         for i, r in enumerate(rows):
             phoneme[i, : len(r)] = r[: bucket]
 
