@@ -32,24 +32,49 @@ def read_lexicon(lex_path: str) -> Dict[str, List[str]]:
 
 
 # --- rule-based letter-to-sound fallback -----------------------------------
-# A pragmatic English L2S: suffix rules, digraphs, magic-e, then letter
-# defaults.  Only used for words missing from the lexicon.
+# A pragmatic English L2S: suffix rules, digraphs, magic-e, open-syllable
+# long vowels, then letter defaults.  Only used for words missing from the
+# lexicon.  Measured on tests/data/g2p_eval.tsv (held-out CMUDict-style
+# entries) by tests/test_g2p_per.py; the PER is recorded in STATUS.md.
 
+# suffixes replaced wholesale (stem recursion); longest match first
 _SUFFIXES = [
-    ("tion", ["SH", "AH0", "N"]),
-    ("sion", ["ZH", "AH0", "N"]),
-    ("ture", ["CH", "ER0"]),
+    ("ission", ["IH1", "SH", "AH0", "N"]),
+    ("ession", ["EH1", "SH", "AH0", "N"]),
+    ("ation", ["EY1", "SH", "AH0", "N"]),
+    ("ature", ["EY1", "CH", "ER0"]),
+    ("ision", ["IH1", "ZH", "AH0", "N"]),
     ("cious", ["SH", "AH0", "S"]),
     ("tious", ["SH", "AH0", "S"]),
+    ("ssion", ["SH", "AH0", "N"]),
+    ("tion", ["SH", "AH0", "N"]),
+    ("sion", ["ZH", "AH0", "N"]),
+    ("cial", ["SH", "AH0", "L"]),
+    ("tial", ["SH", "AH0", "L"]),
+    ("cian", ["SH", "AH0", "N"]),
+    ("ture", ["CH", "ER0"]),
+    ("sure", ["ZH", "ER0"]),
+    ("able", ["AH0", "B", "AH0", "L"]),
+    ("ness", ["N", "AH0", "S"]),
+    ("ment", ["M", "AH0", "N", "T"]),
     ("ough", ["AO1"]),
+    ("ous", ["AH0", "S"]),
+    ("ing", ["IH0", "NG"]),
+    ("ly", ["L", "IY0"]),
 ]
+# minimum STEM length for each generic suffix (protects monosyllables like
+# "ring", "bed", "ten" whose ending is part of the root)
+_SUFFIX_MIN_STEM = {"ing": 3, "ly": 3, "ous": 3, "ness": 3, "ment": 2,
+                    "able": 2, "en": 4, "et": 4, "ed": 3, "le": 3}
 
 _DIGRAPHS = [
-    ("tch", ["CH"]), ("igh", ["AY1"]), ("dge", ["JH"]),
+    ("tch", ["CH"]), ("igh", ["AY1"]), ("dge", ["JH"]), ("alk", ["AO1", "K"]),
+    ("ook", ["UH1", "K"]),
     ("ch", ["CH"]), ("sh", ["SH"]), ("th", ["TH"]), ("ph", ["F"]),
     ("wh", ["W"]), ("ck", ["K"]), ("ng", ["NG"]), ("qu", ["K", "W"]),
     ("oo", ["UW1"]), ("ee", ["IY1"]), ("ea", ["IY1"]), ("ai", ["EY1"]),
     ("ay", ["EY1"]), ("oa", ["OW1"]), ("ou", ["AW1"]), ("ow", ["AW1"]),
+    ("ong", ["AO1", "NG"]), ("old", ["OW1", "L", "D"]),
     ("oi", ["OY1"]), ("oy", ["OY1"]), ("au", ["AO1"]), ("aw", ["AO1"]),
     ("ar", ["AA1", "R"]), ("or", ["AO1", "R"]), ("ir", ["ER1"]),
     ("ur", ["ER1"]), ("er", ["ER0"]), ("kn", ["N"]), ("wr", ["R"]),
@@ -64,6 +89,18 @@ _CONSONANTS = {
     "v": "V", "w": "W", "x": "K S", "z": "Z",
 }
 _VOWEL_LETTERS = set("aeiouy")
+_VOICELESS = {"P", "K", "F", "TH", "S", "SH", "CH"}
+
+
+def _collapse_doubles(word: str) -> str:
+    """Doubled consonant letters are one phone (pillow → pilow); doubled
+    vowels (ee/oo) are digraphs and stay."""
+    out = []
+    for c in word:
+        if out and out[-1] == c and c not in "aeiou":
+            continue
+        out.append(c)
+    return "".join(out)
 
 
 def rule_g2p(word: str) -> List[str]:
@@ -72,11 +109,31 @@ def rule_g2p(word: str) -> List[str]:
     word = "".join(c for c in word if c.isalpha() or c == "'")
     if not word:
         return []
-    phones: List[str] = []
 
     for suffix, ph in _SUFFIXES:
-        if word.endswith(suffix) and len(word) > len(suffix):
+        min_stem = _SUFFIX_MIN_STEM.get(suffix, 1)
+        if word.endswith(suffix) and len(word) - len(suffix) >= min_stem:
             return rule_g2p(word[: -len(suffix)]) + ph
+
+    # past-tense -ed: allomorph chosen by the stem's final phone
+    if word.endswith("ed") and len(word) - 2 >= _SUFFIX_MIN_STEM["ed"]:
+        stem = rule_g2p(word[:-2])
+        if stem:
+            last = stem[-1]
+            if last in ("T", "D"):
+                return stem + ["IH0", "D"]
+            return stem + (["T"] if last in _VOICELESS else ["D"])
+
+    # unstressed closed endings: kitten/garden, basket/market, little/table,
+    # button/cotton
+    for ending, tail in (("en", ["AH0", "N"]), ("on", ["AH0", "N"]),
+                         ("et", ["IH0", "T"]), ("le", ["AH0", "L"])):
+        if word.endswith(ending) \
+                and len(word) - 2 >= _SUFFIX_MIN_STEM.get(ending, 4) \
+                and word[-3] not in _VOWEL_LETTERS:
+            return rule_g2p(word[:-2]) + tail
+
+    phones: List[str] = []
 
     # magic-e: CVCe → long vowel, silent e
     silent_final_e = (
@@ -91,29 +148,85 @@ def rule_g2p(word: str) -> List[str]:
     while i < n:
         if silent_final_e and i == n - 1:
             break
+        c = word[i]
+        nxt = word[i + 1] if i + 1 < n else ""
+        nxt2 = word[i + 2] if i + 2 < n else ""
+
+        # doubled consonant letters are ONE phone, and they close the
+        # preceding syllable (summer/letter/rabbit keep short vowels
+        # because the open-syllable check below sees both letters)
+        if c not in "aeiou" and nxt == c:
+            if c in _CONSONANTS:
+                phones.extend(_CONSONANTS[c].split())
+            i += 2
+            continue
+
+        # word-initial y is the consonant (yellow, yes)
+        if c == "y" and i == 0 and nxt in _VOWEL_LETTERS:
+            phones.append("Y")
+            i += 1
+            continue
+
+        # word-initial unstressed a- in a-CV multisyllables
+        # (away, again, along, about)
+        if c == "a" and i == 0 and n >= 4 and nxt in _CONSONANTS \
+                and nxt2 in _VOWEL_LETTERS:
+            phones.append("AH0")
+            i += 1
+            continue
+
         matched = False
-        for di, (digraph, ph) in enumerate(_DIGRAPHS):
+        for digraph, ph in _DIGRAPHS:
             if word.startswith(digraph, i):
+                # intervocalic th is voiced (mother, weather)
+                if digraph == "th" and 0 < i and i + 2 < n \
+                        and word[i - 1] in _VOWEL_LETTERS \
+                        and word[i + 2] in _VOWEL_LETTERS:
+                    ph = ["DH"]
+                # word-final -ow is /oʊ/ (yellow, slow), not /aʊ/
+                if digraph == "ow" and i + 2 == n:
+                    ph = ["OW1"]
                 phones.extend(ph)
                 i += len(digraph)
                 matched = True
                 break
         if matched:
             continue
-        c = word[i]
         if c in _VOWEL_LETTERS:
-            long_pos = silent_final_e and i == n - 3
+            # long contexts: magic-e position, open syllable (exactly one
+            # consonant then a vowel), or word-final vowel (go, hi, mo-ment)
+            long_pos = (
+                (silent_final_e and i == n - 3)
+                or (nxt and nxt not in _VOWEL_LETTERS and nxt in _CONSONANTS
+                    and nxt2 in _VOWEL_LETTERS and nxt2 != nxt)
+                or (i == n - 1 and n >= 2 and c in "iou")
+            )
             table = _LONG_VOWELS if long_pos else _SHORT_VOWELS
             if c == "y" and i == n - 1 and not silent_final_e:
-                phones.append("IY0")
+                phones.append("IY0" if n > 3 else "AY1")
+            elif c == "a" and i > 0 and word[i - 1] == "w" and not long_pos:
+                phones.append("AA1")  # wa- (want, wash, watch)
+            elif c == "o" and nxt == "g" and i + 2 == n:
+                phones.append("AO1")  # final -og (dog, log, fog)
+            elif c == "u" and long_pos:
+                # long u is /juː/ except after l, r, j (blue, June)
+                if i > 0 and word[i - 1] in "lrj":
+                    phones.append("UW1")
+                else:
+                    phones.extend(["Y", "UW1"])
             else:
                 phones.append(table[c])
         elif c == "c":
-            nxt = word[i + 1] if i + 1 < n else ""
-            phones.append("S" if nxt in "eiy" else "K")
+            phones.append("S" if (nxt and nxt in "eiy") else "K")
+        elif c == "g":
+            # soft g before e/i/y (giant, cage); hard otherwise
+            phones.append("JH" if (nxt and nxt in "eiy") else "G")
         elif c == "s" and i == n - 1 and len(word) > 1:
             prev = word[i - 1]
             phones.append("Z" if prev in "bdgvlmnrw" or prev in _VOWEL_LETTERS else "S")
+        elif c == "s" and 0 < i and nxt and word[i - 1] in _VOWEL_LETTERS \
+                and nxt in _VOWEL_LETTERS:
+            phones.append("Z")  # intervocalic s (music, visit)
         elif c in _CONSONANTS:
             phones.extend(_CONSONANTS[c].split())
         i += 1
