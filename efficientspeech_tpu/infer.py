@@ -365,12 +365,12 @@ class Synthesizer:
                   f"RTF: {info['rtf']:.1f}")
         return wav, info
 
-    def _segment(self, seq: np.ndarray):
-        """Split a phoneme sequence exceeding the largest bucket at pause
-        ({sp}) boundaries — or hard boundaries as a fallback (the reference
-        handles arbitrary length eagerly; static shapes segment instead of
-        truncate)."""
-        max_bucket = self.phoneme_buckets[-1]
+    def _segment(self, seq: np.ndarray, max_len: Optional[int] = None):
+        """Split a phoneme sequence exceeding ``max_len`` (default: the
+        largest bucket) at pause ({sp}) boundaries — or hard boundaries as a
+        fallback (the reference handles arbitrary length eagerly; static
+        shapes segment instead of truncate)."""
+        max_bucket = max_len or self.phoneme_buckets[-1]
         if len(seq) <= max_bucket:
             return [np.asarray(seq)]
 
@@ -388,6 +388,22 @@ class Synthesizer:
         if start < len(seq):
             segments.append(np.asarray(seq[start:]))
         return segments
+
+    def tts_stream(self, text: str, segment_phonemes: Optional[int] = None):
+        """Streaming synthesis: a generator yielding (wav float32, info) per
+        {sp}-bounded segment.  Time-to-first-audio is one SEGMENT's
+        synthesis latency instead of the whole text's — the serving layer
+        flushes each chunk as it completes (see serve.py /tts_stream)."""
+        seq = self.phonemize(text)
+        max_len = min(segment_phonemes or self.phoneme_buckets[-1] // 4 or 1,
+                      self.phoneme_buckets[-1])
+        segments = self._segment(seq, max_len)
+        for idx, seg in enumerate(segments):
+            t0 = time.time()
+            wav, mel_len, _ = self.synthesize_ids(seg)
+            yield wav, {"segment": idx, "n_segments": len(segments),
+                        "mel_len": mel_len, "phonemes": len(seg),
+                        "secs": time.time() - t0}
 
     def tts_ids_timed(self, seq: np.ndarray):
         """Synthesize a phoneme sequence of any length (segments beyond the
