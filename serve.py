@@ -8,7 +8,12 @@ them, responses stream 16-bit WAV.
 
     python serve.py --preset tiny --checkpoint ... --port 8000
     curl "localhost:8000/tts?text=hello+world" -o out.wav
+    curl -N "localhost:8000/tts_stream?text=..." -o out.wav   # chunked
     curl "localhost:8000/healthz"
+
+/tts_stream emits audio per {sp}-bounded segment as it is synthesized
+(chunked transfer encoding): time-to-first-audio is one segment's latency
+instead of the whole text's.
 """
 
 import argparse
@@ -18,16 +23,110 @@ import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import numpy as np
+
+_WAV_FMT = struct.pack("<IHHIIHH", 16, 1, 1, 22050, 22050 * 2, 2, 16)
+
+
+def wav_header(n_pcm_bytes: int, sampling_rate: int) -> bytes:
+    """RIFF header; pass n_pcm_bytes=0xFFFFFFF0 for streaming (unknown
+    length — players accept the over-long size)."""
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, sampling_rate,
+                      sampling_rate * 2, 2, 16)
+    riff_len = (36 + n_pcm_bytes) & 0xFFFFFFFF
+    return (b"RIFF" + struct.pack("<I", riff_len) + b"WAVEfmt " + fmt
+            + b"data" + struct.pack("<I", n_pcm_bytes & 0xFFFFFFFF))
+
+
+def pcm16(wav, max_wav_value: float) -> bytes:
+    return np.clip(wav * max_wav_value, -max_wav_value,
+                   max_wav_value - 1).astype("<i2").tobytes()
+
 
 def wav_bytes(wav, sampling_rate: int, max_wav_value: float) -> bytes:
-    import numpy as np
+    pcm = pcm16(wav, max_wav_value)
+    return wav_header(len(pcm), sampling_rate) + pcm
 
-    pcm = np.clip(wav * max_wav_value, -max_wav_value,
-                  max_wav_value - 1).astype("<i2").tobytes()
-    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt " + \
-        struct.pack("<IHHIIHH", 16, 1, 1, sampling_rate, sampling_rate * 2,
-                    2, 16) + b"data" + struct.pack("<I", len(pcm))
-    return hdr + pcm
+
+def make_handler(synth, lock=None, stream_segment_phonemes=None):
+    """Build the request handler around a warm Synthesizer (shared by
+    serve.py main() and the tests)."""
+    lock = lock or threading.Lock()  # one device stream; serialize synthesis
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _chunk(self, data: bytes):
+            self.wfile.write(f"{len(data):X}\r\n".encode())
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
+            self.wfile.flush()
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/healthz":
+                body = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if parsed.path not in ("/tts", "/tts_stream"):
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            q = urllib.parse.parse_qs(parsed.query)
+            text = (q.get("text") or [""])[0]
+            if not text:
+                body = b"missing ?text="
+                self.send_response(400)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            max_wav = synth.preprocess_cfg.audio.max_wav_value
+            t0 = time.time()
+
+            if parsed.path == "/tts_stream":
+                # chunked WAV: header first, then PCM per synthesized
+                # segment — first audio after ONE segment's latency
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                self._chunk(wav_header(0xFFFFFFF0 - 36,
+                                       synth.sampling_rate))
+                first_ms = None
+                with lock:
+                    for wav, info in synth.tts_stream(
+                            text,
+                            segment_phonemes=stream_segment_phonemes):
+                        if first_ms is None:
+                            first_ms = (time.time() - t0) * 1e3
+                        self._chunk(pcm16(wav, max_wav))
+                self._chunk(b"")  # terminator
+                print(f"[serve] /tts_stream first-audio "
+                      f"{first_ms:.1f} ms, total "
+                      f"{(time.time() - t0) * 1e3:.1f} ms")
+                return
+
+            with lock:
+                wav, info = synth.tts(text)
+            payload = wav_bytes(wav, synth.sampling_rate, max_wav)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(payload)))
+            self.send_header("X-RTF", f"{info['rtf']:.1f}")
+            self.send_header("X-Latency-Ms",
+                             f"{(time.time() - t0) * 1e3:.1f}")
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, fmt, *a):
+            print(f"[serve] {fmt % a}")
+
+    return Handler
 
 
 def main():
@@ -39,6 +138,11 @@ def main():
                         default="/root/reference/hifigan/LJ_V2/generator_v2")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--transfer", default="int16",
+                        choices=["f32", "int16", "mulaw"],
+                        help="device→host wire format (mulaw halves the "
+                             "dominant transfer on tunneled links)")
+    parser.add_argument("--stream-segment-phonemes", type=int, default=128)
     parser.add_argument("--warmup-text",
                         default="the quick brown fox jumps over the lazy dog")
     args = parser.parse_args()
@@ -56,50 +160,16 @@ def main():
         preset=args.preset, checkpoint=args.checkpoint,
         hifigan_checkpoint=args.hifigan_checkpoint
         if os.path.isfile(args.hifigan_checkpoint) else "",
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, transfer=args.transfer,
         bench_duration_bias=None if args.checkpoint else 6.0)
     print("warming up ...")
     synth.warmup(args.warmup_text, iters=2)
-    lock = threading.Lock()  # one device stream; serialize synthesis
 
-    class Handler(BaseHTTPRequestHandler):
-        def do_GET(self):
-            parsed = urllib.parse.urlparse(self.path)
-            if parsed.path == "/healthz":
-                self.send_response(200)
-                self.end_headers()
-                self.wfile.write(b"ok")
-                return
-            if parsed.path != "/tts":
-                self.send_response(404)
-                self.end_headers()
-                return
-            q = urllib.parse.parse_qs(parsed.query)
-            text = (q.get("text") or [""])[0]
-            if not text:
-                self.send_response(400)
-                self.end_headers()
-                self.wfile.write(b"missing ?text=")
-                return
-            t0 = time.time()
-            with lock:
-                wav, info = synth.tts(text)
-            payload = wav_bytes(wav, synth.sampling_rate,
-                                synth.preprocess_cfg.audio.max_wav_value)
-            self.send_response(200)
-            self.send_header("Content-Type", "audio/wav")
-            self.send_header("Content-Length", str(len(payload)))
-            self.send_header("X-RTF", f"{info['rtf']:.1f}")
-            self.send_header("X-Latency-Ms",
-                             f"{(time.time() - t0) * 1e3:.1f}")
-            self.end_headers()
-            self.wfile.write(payload)
-
-        def log_message(self, fmt, *a):
-            print(f"[serve] {fmt % a}")
-
-    server = ThreadingHTTPServer((args.host, args.port), Handler)
-    print(f"serving on http://{args.host}:{args.port}  (/tts?text=..., /healthz)")
+    handler = make_handler(
+        synth, stream_segment_phonemes=args.stream_segment_phonemes)
+    server = ThreadingHTTPServer((args.host, args.port), handler)
+    print(f"serving on http://{args.host}:{args.port}  "
+          f"(/tts?text=..., /tts_stream?text=..., /healthz)")
     server.serve_forever()
 
 

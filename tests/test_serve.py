@@ -1,57 +1,42 @@
-"""Serving layer test: in-process HTTP server, /tts returns a valid WAV."""
+"""Serving layer tests: /tts returns a valid WAV; /tts_stream delivers the
+first audio chunk BEFORE synthesis of later segments completes (streaming,
+VERDICT round 1 item 9)."""
 
+import http.client
 import threading
 import urllib.request
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
 
-def test_serve_tts_roundtrip():
+@pytest.fixture(scope="module")
+def synth():
+    from efficientspeech_tpu.infer import build_synthesizer
+
+    s = build_synthesizer(preset="tiny", hifigan_checkpoint="",
+                          dtype=jnp.float32, bench_duration_bias=4.0)
+    s.phoneme_buckets = (16, 32)
+    s.mel_expansion = 6
+    s.spec_min_frames = 32
+    return s
+
+
+def _start(handler):
     from http.server import ThreadingHTTPServer
 
-    from efficientspeech_tpu.infer import build_synthesizer
-    from serve import wav_bytes
-
-    synth = build_synthesizer(preset="tiny", hifigan_checkpoint="",
-                              dtype=jnp.float32, bench_duration_bias=4.0)
-    synth.phoneme_buckets = (16, 32)
-    synth.mel_expansion = 6
-
-    # reuse serve.py's handler wiring inline (the module-level main() binds
-    # flags; here we exercise the same request path)
-    import urllib.parse
-    from http.server import BaseHTTPRequestHandler
-
-    lock = threading.Lock()
-
-    class Handler(BaseHTTPRequestHandler):
-        def do_GET(self):
-            parsed = urllib.parse.urlparse(self.path)
-            if parsed.path == "/healthz":
-                self.send_response(200)
-                self.end_headers()
-                self.wfile.write(b"ok")
-                return
-            q = urllib.parse.parse_qs(parsed.query)
-            text = (q.get("text") or [""])[0]
-            with lock:
-                wav, info = synth.tts(text)
-            payload = wav_bytes(wav, synth.sampling_rate, 32768.0)
-            self.send_response(200)
-            self.send_header("Content-Type", "audio/wav")
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
-
-        def log_message(self, *a):
-            pass
-
-    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    port = server.server_address[1]
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
+    return server, server.server_address[1]
+
+
+def test_serve_tts_roundtrip(synth):
+    from serve import make_handler
+
+    server, port = _start(make_handler(synth))
     try:
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
@@ -66,3 +51,71 @@ def test_serve_tts_roundtrip():
         assert np.isfinite(pcm.astype(np.float32)).all()
     finally:
         server.shutdown()
+
+
+def test_serve_streaming_first_chunk_before_completion(synth):
+    """Deterministic streaming proof: the generator GATES segment 2 on an
+    event the client only sets after it has read first-segment audio — so a
+    successful read of chunk 1 while ``produced_all`` is unset shows the
+    server flushed audio before the response (or even synthesis) finished."""
+    from serve import make_handler
+
+    gate = threading.Event()
+    produced_all = threading.Event()
+
+    class GatedSynth:
+        """Delegates to the real synthesizer but pauses after segment 1."""
+
+        def __getattr__(self, name):
+            return getattr(synth, name)
+
+        def tts_stream(self, text, segment_phonemes=None):
+            gen = synth.tts_stream(text, segment_phonemes=8)
+            yield next(gen)
+            assert gate.wait(timeout=120), "client never confirmed chunk 1"
+            for item in gen:
+                yield item
+            produced_all.set()
+
+    server, port = _start(make_handler(GatedSynth()))
+    try:
+        text = "hello there my good friend, how are you doing today"
+        seq = synth.phonemize(text)
+        assert len(synth._segment(seq, 8)) >= 2, "need a multi-segment text"
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("GET", "/tts_stream?text=" +
+                     urllib.request.quote(text))
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Transfer-Encoding") == "chunked"
+
+        header = resp.read(44)
+        assert header[:4] == b"RIFF" and header[8:12] == b"WAVE"
+        first_audio = resp.read(256)  # blocks until segment-1 PCM arrives
+        assert len(first_audio) > 0
+        # the audio is in hand while later segments are NOT yet synthesized
+        assert not produced_all.is_set()
+
+        gate.set()
+        rest = resp.read()
+        assert produced_all.is_set()
+        pcm = np.frombuffer(first_audio + rest, dtype="<i2")
+        assert len(pcm) > 0
+        assert np.isfinite(pcm.astype(np.float32)).all()
+        conn.close()
+    finally:
+        gate.set()
+        server.shutdown()
+
+
+def test_tts_stream_concat_matches_tts(synth):
+    """Concatenated streamed segments == the one-shot synthesis of the same
+    text at the same segmentation."""
+    text = "the quick brown fox jumps over the lazy dog"
+    seq = synth.phonemize(text)
+    chunks = [w for w, _ in synth.tts_stream(text, segment_phonemes=8)]
+    streamed = np.concatenate(chunks)
+    segments = synth._segment(seq, 8)
+    parts = [synth.synthesize_ids(s)[0] for s in segments]
+    np.testing.assert_allclose(streamed, np.concatenate(parts), atol=1e-6)
