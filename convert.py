@@ -9,6 +9,11 @@ Modes:
   # native/converted params → serialized StableHLO (ONNX analogue)
   python convert.py --checkpoint tiny_eng_266k.ckpt --preset tiny \
       --export tiny_eng.stablehlo --insize 128
+
+  # native/converted params → .onnx (the reference's interchange format;
+  # routed through the reference torch modules, reference: convert.py:35-42)
+  python convert.py --checkpoint tiny_eng_266k.ckpt --preset tiny \
+      --onnx tiny_eng.onnx --insize 128
 """
 
 import argparse
@@ -27,6 +32,10 @@ def main():
                         help="write native orbax params here")
     parser.add_argument("--export", default=None,
                         help="write serialized StableHLO program here")
+    parser.add_argument("--onnx", default=None,
+                        help="write a .onnx (via the reference torch "
+                             "modules; reference --onnx)")
+    parser.add_argument("--onnx-opset", type=int, default=17)
     parser.add_argument("--insize", type=int, default=128,
                         help="fixed phoneme length for export "
                              "(reference --onnx-insize)")
@@ -62,6 +71,14 @@ def main():
             dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32)
         save_exported(args.export, blob)
         print(f"wrote StableHLO program ({len(blob)} bytes) to {args.export}")
+
+    if args.onnx:
+        from efficientspeech_tpu.convert.onnx_export import export_onnx
+
+        size = export_onnx(synth.params, synth.cfg, synth.hifigan_cfg,
+                           args.onnx, insize=args.insize,
+                           opset=args.onnx_opset)
+        print(f"wrote ONNX model ({size} bytes) to {args.onnx}")
 
 
 if __name__ == "__main__":

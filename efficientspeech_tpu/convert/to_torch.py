@@ -126,3 +126,51 @@ def save_reference_checkpoint(path: str, params: Mapping, depth: int = 2,
     sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
     torch.save({"state_dict": sd,
                 "hyper_parameters": hyper_parameters or {}}, path)
+
+
+# --- HiFi-GAN inverse (our folded params → weight-normed torch sd) ----------
+
+def _wn_conv1d(p):
+    """Plain conv kernel → weight_norm'd torch Conv1d tensors: v = W,
+    g = ||W|| per output channel (dim=0), so g·v/||v|| == W exactly."""
+    W = np.asarray(p["kernel"]).transpose(2, 1, 0)  # (out, in, k)
+    g = np.linalg.norm(W.reshape(W.shape[0], -1), axis=1).reshape(-1, 1, 1)
+    return {"weight_g": g.astype(W.dtype), "weight_v": W,
+            "bias": np.asarray(p["bias"])}
+
+
+def _wn_conv_transpose1d(p):
+    W = np.asarray(p["kernel"]).transpose(1, 2, 0)  # (in, out, k)
+    g = np.linalg.norm(W.reshape(W.shape[0], -1), axis=1).reshape(-1, 1, 1)
+    return {"weight_g": g.astype(W.dtype), "weight_v": W,
+            "bias": np.asarray(p["bias"])}
+
+
+def hifigan_params_to_state_dict(params: Mapping,
+                                 num_kernels: int = 3) -> Dict:
+    """HifiGanGenerator params → reference hifigan.Generator state_dict
+    (weight-normalized layout, reference: hifigan/models.py:84-105);
+    exact inverse of convert_hifigan_state_dict (round-trip tested)."""
+    sd: Dict = {}
+    _emit(sd, "conv_pre", _wn_conv1d(params["conv_pre"]))
+    _emit(sd, "conv_post", _wn_conv1d(params["conv_post"]))
+    ups = sorted(int(k[2:]) for k in params if k.startswith("up"))
+    for i in ups:
+        _emit(sd, f"ups.{i}", _wn_conv_transpose1d(params[f"up{i}"]))
+    for key in params:
+        if not key.startswith("resblock_"):
+            continue
+        i, j = (int(x) for x in key.split("_")[1:3])
+        r = i * num_kernels + j
+        block = params[key]
+        if any(k.startswith("conv1_") for k in block):
+            for m in range(len([k for k in block if k.startswith("conv1_")])):
+                _emit(sd, f"resblocks.{r}.convs1.{m}",
+                      _wn_conv1d(block[f"conv1_{m}"]))
+                _emit(sd, f"resblocks.{r}.convs2.{m}",
+                      _wn_conv1d(block[f"conv2_{m}"]))
+        else:  # ResBlock2
+            for m in range(len(block)):
+                _emit(sd, f"resblocks.{r}.convs.{m}",
+                      _wn_conv1d(block[f"conv_{m}"]))
+    return sd

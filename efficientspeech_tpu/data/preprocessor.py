@@ -75,6 +75,20 @@ def load_wav(path: str, target_sr: int) -> np.ndarray:
     return wav
 
 
+# --- process-pool plumbing (top level so it pickles) ------------------------
+_POOL_PP = None
+
+
+def _pool_init(config):
+    global _POOL_PP
+    _POOL_PP = Preprocessor(config)
+
+
+def _pool_process(task):
+    speaker, basename = task
+    return _POOL_PP.process_utterance(speaker, basename)
+
+
 class Preprocessor:
     def __init__(self, config: PreprocessConfig):
         self.config = config
@@ -199,27 +213,61 @@ class Preprocessor:
         return min_value, max_value
 
     # -- full corpus (reference: preprocessor/preprocessor.py:53-153) -------
-    def build_from_path(self, verbose: bool = True):
-        for sub in ["mel", "pitch", "energy", "duration"]:
-            os.makedirs(os.path.join(self.out_dir, sub), exist_ok=True)
-
-        out, n_frames = [], 0
-        pitch_scaler, energy_scaler = RunningScaler(), RunningScaler()
-        speakers = {}
+    def _utterance_list(self):
+        """(speaker, basename) pairs with both wav and TextGrid on disk,
+        plus the speaker→id table, in the reference's iteration order."""
+        tasks, speakers = [], {}
         speaker_list = sorted(os.listdir(self.in_dir))
         for i, speaker in enumerate(speaker_list):
             if not os.path.isdir(os.path.join(self.in_dir, speaker)):
                 continue
             speakers[speaker] = i
             wavs = sorted(os.listdir(os.path.join(self.in_dir, speaker)))
-            for j, wav_name in enumerate(wavs):
+            for wav_name in wavs:
                 if ".wav" not in wav_name:
                     continue
                 basename = wav_name.split(".")[0]
                 tg_path = os.path.join(self.out_dir, "TextGrid", speaker,
                                        f"{basename}.TextGrid")
-                if not os.path.exists(tg_path):
-                    continue
+                if os.path.exists(tg_path):
+                    tasks.append((speaker, basename))
+        return tasks, speakers
+
+    def build_from_path(self, verbose: bool = True, num_workers: int = 0):
+        """num_workers > 1 fans utterances over a process pool (the
+        reference is single-process; feature extraction is embarrassingly
+        parallel and the per-utterance .npy outputs are independent — only
+        the streaming scalers live in the parent, and their update order
+        does not change the result beyond float summation order)."""
+        for sub in ["mel", "pitch", "energy", "duration"]:
+            os.makedirs(os.path.join(self.out_dir, sub), exist_ok=True)
+
+        out, n_frames = [], 0
+        pitch_scaler, energy_scaler = RunningScaler(), RunningScaler()
+        tasks, speakers = self._utterance_list()
+
+        if num_workers and num_workers > 1:
+            from concurrent.futures import ProcessPoolExecutor
+
+            with ProcessPoolExecutor(
+                    max_workers=num_workers,
+                    initializer=_pool_init,
+                    initargs=(self.config,)) as ex:
+                results = ex.map(_pool_process, tasks, chunksize=8)
+                for ret in results:
+                    if ret is None:
+                        continue
+                    info, pitch, energy, n = ret
+                    out.append(info)
+                    if len(pitch) > 0:
+                        pitch_scaler.update(pitch)
+                    if len(energy) > 0:
+                        energy_scaler.update(energy)
+                    n_frames += n
+                    if verbose and len(out) % 500 == 0:
+                        print(f"  processed {len(out)} utterances")
+        else:
+            for speaker, basename in tasks:
                 ret = self.process_utterance(speaker, basename)
                 if ret is None:
                     continue

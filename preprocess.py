@@ -12,8 +12,11 @@ from efficientspeech_tpu.data.preprocessor import Preprocessor
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("config", type=str, help="path to preprocess.yaml")
+    parser.add_argument("--num-workers", type=int, default=0,
+                        help="fan utterances over a process pool (the "
+                             "reference is single-process)")
     args = parser.parse_args()
 
     config = PreprocessConfig.from_yaml(args.config)
     preprocessor = Preprocessor(config)
-    preprocessor.build_from_path()
+    preprocessor.build_from_path(num_workers=args.num_workers)

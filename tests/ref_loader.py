@@ -1,39 +1,10 @@
-"""Helper: import the reference torch modules from /root/reference for
-golden-output parity tests, WITHOUT its unavailable dependencies.
+"""Helper: import the reference torch modules for golden-output parity
+tests.  The implementation lives in the package (it is also needed by the
+ONNX exporter); this keeps the historical test import path working."""
 
-The reference ``text`` package imports ``unidecode``/``inflect`` at package
-init; we only need ``text.symbols.symbols`` (verified ID-identical to ours in
-test_text.py), so a stub module is injected before importing the layers.
-"""
-
-import sys
-import types
-
-REFERENCE = "/root/reference"
-
-
-def load_reference_layers():
-    if "ref_layers" in sys.modules:
-        return sys.modules["ref_layers"]
-
-    from efficientspeech_tpu.text.symbols import symbols as our_symbols
-
-    text_pkg = types.ModuleType("text")
-    text_symbols = types.ModuleType("text.symbols")
-    text_symbols.symbols = list(our_symbols)
-    text_pkg.symbols = text_symbols
-    sys.modules.setdefault("text", text_pkg)
-    sys.modules.setdefault("text.symbols", text_symbols)
-
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
-    import layers as ref_layers  # noqa: F401  (reference /root/reference/layers)
-    sys.modules["ref_layers"] = sys.modules["layers"]
-    return sys.modules["layers"]
-
-
-def load_reference_hifigan():
-    if REFERENCE not in sys.path:
-        sys.path.insert(0, REFERENCE)
-    import hifigan as ref_hifigan  # noqa: F401
-    return ref_hifigan
+from efficientspeech_tpu.convert.ref_modules import (  # noqa: F401
+    REFERENCE,
+    load_reference_hifigan,
+    load_reference_layers,
+    reference_available,
+)

@@ -1,0 +1,115 @@
+"""ONNX interchange export (VERDICT round 1, missing #3).
+
+onnxruntime is not installable here, so validation is structural (protobuf
+magic, producer tag, output names) plus a numeric parity check of the torch
+module the graph is traced from against our JAX pipeline.  The HiFi-GAN
+inverse converter is round-trip tested exactly.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from efficientspeech_tpu.config import HifiGanConfig, ModelConfig
+from efficientspeech_tpu.convert.ref_modules import reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference not mounted")
+
+# ResBlock1 layout (3 conv pairs per block, like LJ_V2) at small channels
+SMALL_HIFIGAN = dict(upsample_rates=(8, 8),
+                     upsample_kernel_sizes=(16, 16),
+                     upsample_initial_channel=32,
+                     resblock_kernel_sizes=(3, 5),
+                     resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)))
+
+
+def _params(h_cfg):
+    import jax
+
+    from efficientspeech_tpu.models.hifigan import HifiGanGenerator
+
+    gen = HifiGanGenerator(h_cfg, dtype=jnp.float32)
+    return gen.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 4, 80), jnp.float32))["params"]
+
+
+def test_hifigan_state_dict_roundtrip():
+    """our params → weight-normed torch sd → our params == identity."""
+    from efficientspeech_tpu.convert.from_torch import (
+        convert_hifigan_state_dict)
+    from efficientspeech_tpu.convert.to_torch import (
+        hifigan_params_to_state_dict)
+
+    h_cfg = HifiGanConfig(**SMALL_HIFIGAN)
+    params = _params(h_cfg)
+    sd = hifigan_params_to_state_dict(params, num_kernels=2)
+    back = convert_hifigan_state_dict(sd, num_kernels=2)
+
+    import jax
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    for path, a in flat_a:
+        b = flat_b[path]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=str(path))
+
+
+def test_onnx_export_writes_valid_proto(tmp_path):
+    from efficientspeech_tpu.convert.onnx_export import export_onnx
+    from efficientspeech_tpu.infer import build_synthesizer
+
+    h_cfg = HifiGanConfig(**SMALL_HIFIGAN)
+    synth = build_synthesizer(preset="tiny", hifigan_checkpoint="",
+                              dtype=jnp.float32, bench_duration_bias=4.0)
+    params = dict(synth.params)
+    params["hifigan"] = _params(h_cfg)
+
+    out = str(tmp_path / "tiny.onnx")
+    size = export_onnx(params, synth.cfg, h_cfg, out, insize=16)
+    assert os.path.isfile(out) and size > 10_000
+
+    data = open(out, "rb").read()
+    # ModelProto structure: field 1 (ir_version) varint, then producer_name
+    # "pytorch" (field 2) — checkable without the onnx package
+    assert data[0] == 0x08, "ModelProto must start with ir_version tag"
+    assert b"pytorch" in data[:64]
+    assert b"wav" in data and b"lengths" in data and b"duration" in data
+    assert b"inputs" in data
+
+
+def test_reference_model_matches_jax_pipeline():
+    """The torch graph the ONNX is traced from == our JAX split pipeline
+    (mel within parity tolerance, identical mel_len) on the same params."""
+    import torch
+
+    from efficientspeech_tpu.convert.onnx_export import build_reference_model
+    from efficientspeech_tpu.infer import build_synthesizer
+
+    h_cfg = HifiGanConfig(**SMALL_HIFIGAN)
+    synth = build_synthesizer(preset="tiny", hifigan_checkpoint="",
+                              dtype=jnp.float32, bench_duration_bias=4.0)
+    synth.phoneme_buckets = (16,)
+    synth.mel_expansion = 8
+    synth.spec_min_frames = 128
+    params = dict(synth.params)
+    params["hifigan"] = _params(h_cfg)
+    synth.params = params
+    synth.hifigan_cfg = h_cfg
+
+    model = build_reference_model(params, synth.cfg, h_cfg)
+    rng = np.random.default_rng(5)
+    phoneme = rng.integers(70, 146, size=(1, 12)).astype(np.int64)
+    with torch.no_grad():
+        wav_t, len_t, dur_t = model(torch.from_numpy(phoneme))
+
+    synth.transfer = "f32"
+    wav_j, mel_len_j, _ = synth.synthesize_ids(phoneme[0].astype(np.int32))
+    assert int(len_t[0]) == mel_len_j
+    n = min(len(wav_j), wav_t.shape[1])
+    np.testing.assert_allclose(wav_t.numpy()[0, :n], wav_j[:n],
+                               rtol=1e-3, atol=2e-4)
