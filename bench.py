@@ -52,6 +52,12 @@ def main():
                              "with batched synthesis")
     parser.add_argument("--batch", type=int, default=16,
                         help="batch size for --metric batch_rtf")
+    parser.add_argument("--vocoder", default="folded",
+                        choices=["folded", "folded_pallas", "chunked"],
+                        help="folded_pallas routes single-utterance "
+                             "vocoding through the fused Pallas kernel "
+                             "(1.6x the XLA matmuls at the 4096-frame "
+                             "serving shape)")
     parser.add_argument("--transfer", default="mulaw",
                         choices=["f32", "int16", "mulaw"],
                         help="device→host PCM wire format.  mulaw (8-bit "
@@ -80,7 +86,7 @@ def main():
     synth = build_synthesizer(
         preset=args.preset, checkpoint=args.checkpoint,
         hifigan_checkpoint=hifigan_ckpt, dtype=dtype,
-        transfer=args.transfer,
+        transfer=args.transfer, vocoder_mode=args.vocoder,
         # random-init duration head predicts ~0 frames; bias it to the
         # LJSpeech mean (~6 frames/phoneme) so the benchmark exercises
         # realistic sequence lengths

@@ -146,9 +146,16 @@ class Synthesizer:
                                    pad_mask, train=False)
                 mel_len = jnp.minimum(pred["mel_len"],
                                       pred["mel"].shape[1])
+                # the pallas fused kernel is single-utterance only and only
+                # beats XLA where the window materialization dominates
+                # (measured: 1.4-1.6x at >=2048 frames, ~0.9x below);
+                # batched or small traces of the same program fall back to
+                # XLA matmuls (shape is static per trace — branch is free)
+                up = (use_pallas and phoneme.shape[0] == 1
+                      and out_frames >= 2048)
                 wav = folded_plan_apply(arrs, meta, cfg, pred["mel"],
                                         valid_len=mel_len, dtype=dtype,
-                                        use_pallas=use_pallas)
+                                        use_pallas=up)
                 return (encode_device(wav, fmt), pred["mel_len"],
                         pred["duration"])
 
@@ -560,7 +567,8 @@ def build_synthesizer(preset: str = "tiny",
                       dtype=jnp.bfloat16,
                       seed: int = 0,
                       bench_duration_bias: Optional[float] = None,
-                      transfer: str = "int16") -> Synthesizer:
+                      transfer: str = "int16",
+                      vocoder_mode: str = "folded") -> Synthesizer:
     """Build a Synthesizer from a reference torch checkpoint (converted) or
     random init (+ the bundled HiFi-GAN weights when available).
 
@@ -622,4 +630,4 @@ def build_synthesizer(preset: str = "tiny",
 
     return Synthesizer(cfg, hifigan_cfg, params,
                        preprocess_cfg=preprocess_cfg, dtype=dtype,
-                       transfer=transfer)
+                       transfer=transfer, vocoder_mode=vocoder_mode)
