@@ -48,3 +48,51 @@ def test_trainer_fit_and_resume(preprocessed_corpus, tmp_path):
                        dtype=jnp.float32, mesh=mesh)
     resumed = trainer2.maybe_resume()
     assert resumed == final_step
+
+
+def test_val_pass_single_compiled_shape(preprocessed_corpus, tmp_path):
+    """VERDICT round 1, item 3: one val pass must compile at most 2 distinct
+    eval_step shapes (one fixed batch shape + possibly a partial final
+    batch), and validate_audio's acoustic forward must be jitted."""
+    import json
+
+    import jax.numpy as jnp
+
+    from efficientspeech_tpu.config import ModelConfig, TrainConfig
+    from efficientspeech_tpu.training.loop import Trainer
+
+    stats = json.load(open(os.path.join(
+        preprocessed_corpus.preprocessed_path, "stats.json")))
+    model_cfg = ModelConfig.preset(
+        "tiny", pitch_stats=tuple(stats["pitch"][:2]),
+        energy_stats=tuple(stats["energy"][:2]),
+        max_phoneme_len=32, max_mel_len=256)
+    train_cfg = TrainConfig(
+        batch_size=1, max_epochs=1, warmup_epochs=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        wav_path=str(tmp_path / "wavs"))
+    trainer = Trainer(model_cfg, train_cfg, preprocessed_corpus,
+                      dtype=jnp.float32)
+
+    # every val batch must arrive at ONE static shape
+    shapes = {(b["phoneme"].shape, b["mel"].shape)
+              for b in trainer.val_loader}
+    assert len(shapes) == 1, shapes
+    assert next(iter(shapes)) == ((1, 32), (1, 256, 80))
+
+    trainer.evaluate()
+    assert trainer.eval_step._cache_size() <= 2, \
+        trainer.eval_step._cache_size()
+
+    # validate_audio path: jitted predict, params stay on device
+    pred = trainer._get_val_predict()
+    batch = next(iter(trainer.val_loader))
+    import numpy as np
+
+    mel, mel_len = pred(trainer.state.params,
+                        jnp.asarray(batch["phoneme"]),
+                        jnp.asarray(batch["phoneme_mask"]))
+    assert mel.shape == (1, 256, 80)
+    assert pred._cache_size() == 1
+    assert np.isfinite(np.asarray(mel)).all()
