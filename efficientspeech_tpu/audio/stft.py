@@ -146,6 +146,44 @@ class MelSpectrogram:
 
         self._extract = _extract
 
+        @jax.jit
+        def _extract_precentered(y):
+            # like _extract but WITHOUT the reflect center-pad: the caller
+            # already applied it (host-side, at the true length), so the
+            # input can be zero-padded to a bucket without changing any
+            # valid frame — one compiled program per bucket instead of one
+            # per utterance length
+            frames = _frame(y, filter_length, hop_length)
+            window = hann_window(win_length, frames.dtype)
+            mag = jnp.abs(jnp.fft.rfft(frames * window, n=filter_length,
+                                       axis=-1))
+            mel = jnp.einsum("mf,btf->btm", self.mel_basis, mag,
+                             precision=jax.lax.Precision.HIGHEST)
+            mel = jnp.log(jnp.clip(mel, min=1e-5))
+            energy = jnp.linalg.norm(mag, axis=-1)
+            return mel, energy
+
+        self._extract_precentered = _extract_precentered
+
     def __call__(self, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """y (B, T) → (mel (B, frames, n_mels), energy (B, frames))."""
         return self._extract(y)
+
+    def extract_bucketed(self, y: np.ndarray, multiple: int = 16384
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exactly ``__call__`` but with the wav padded to a length bucket so
+        the jit compiles once per bucket (per-utterance lengths would
+        otherwise trigger a fresh XLA compile each).  The reflect center-pad
+        happens host-side at the TRUE length; the zero tail starts beyond
+        the last valid frame's window, so all returned frames are
+        bit-identical to the unbucketed path (tested)."""
+        y = np.asarray(y)
+        t = y.shape[-1]
+        pad = self.filter_length // 2
+        n_frames = t // self.hop_length + 1
+        y_ref = np.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+        target = ((y_ref.shape[-1] + multiple - 1) // multiple) * multiple
+        y_buck = np.pad(y_ref, ((0, 0), (0, target - y_ref.shape[-1])))
+        mel, energy = self._extract_precentered(jnp.asarray(y_buck))
+        return (np.asarray(mel)[:, :n_frames],
+                np.asarray(energy)[:, :n_frames])

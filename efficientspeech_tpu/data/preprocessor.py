@@ -158,7 +158,9 @@ class Preprocessor:
         if np.sum(pitch != 0) <= 1:
             return None
 
-        mel, energy = self.stft(wav[None, :])
+        # bucketed extraction: identical values, one XLA compile per length
+        # bucket instead of one per utterance (corpus-scale wall-clock)
+        mel, energy = self.stft.extract_bucketed(wav[None, :])
         mel = np.array(mel[0][:total])              # (frames, 80)
         energy = np.array(energy[0][:total])        # writable host copies
 

@@ -104,3 +104,24 @@ def test_mel_to_wav_griffin_lim():
     wav = mel_to_wav_griffin_lim(mel, jnp.asarray(fb), n_iters=3)
     assert wav.shape[0] == 1 and wav.shape[1] > 0
     assert bool(jnp.isfinite(wav).all())
+
+
+def test_mel_extract_bucketed_matches_exact():
+    """extract_bucketed (one compile per length bucket) must reproduce the
+    per-length path (up to FFT-order float rounding, ~3e-7): the reflect center-pad
+    happens at the true length and the zero tail starts beyond the last
+    valid frame's window."""
+    import numpy as np
+
+    from efficientspeech_tpu.audio.stft import MelSpectrogram
+
+    rng = np.random.default_rng(0)
+    ms = MelSpectrogram()
+    for t in (4096, 22050, 30001, 70000):
+        wav = rng.normal(size=(1, t)).astype(np.float32) * 0.3
+        mel_a, en_a = ms(wav)
+        mel_b, en_b = ms.extract_bucketed(wav)
+        np.testing.assert_allclose(np.asarray(mel_a), mel_b,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(en_a), en_b,
+                                   rtol=1e-5, atol=1e-4)
