@@ -33,6 +33,11 @@ def get_args():
                         help="benchmark iterations (reference: demo.py:149-167)")
     parser.add_argument("--warmup", type=int, default=10)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
+    parser.add_argument("--transfer", default="int16",
+                        choices=["f32", "int16", "mulaw"],
+                        help="device→host PCM wire format")
+    parser.add_argument("--vocoder", default="folded",
+                        choices=["folded", "folded_pallas", "chunked"])
     parser.add_argument("--play", action="store_true",
                         help="play audio instead of saving (needs sounddevice)")
     parser.add_argument("--verbose", action="store_true")
@@ -65,7 +70,7 @@ def main():
     synth = build_synthesizer(
         preset=args.preset, checkpoint=args.checkpoint,
         hifigan_checkpoint=hifigan_ckpt, preprocess_cfg=preprocess_cfg,
-        dtype=dtype,
+        dtype=dtype, transfer=args.transfer, vocoder_mode=args.vocoder,
         bench_duration_bias=None if args.checkpoint else 6.0)
 
     if args.iter > 1:

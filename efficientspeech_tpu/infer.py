@@ -193,12 +193,18 @@ class Synthesizer:
                     self.cfg, max_phoneme_len=bucket,
                     max_mel_len=bucket * self.mel_expansion),
                 dtype=self.dtype)
+            # acoustic params are small (1-16 MB): bake them as program
+            # constants so per-call marshaling is just the phoneme IDs
+            baked = jax.tree.map(jnp.asarray, self.params["phoneme2mel"])
 
             @jax.jit
-            def acoustic(params, phoneme, pad_mask):
-                pred = model.apply({"params": params}, phoneme, pad_mask,
+            def acoustic_impl(phoneme, pad_mask):
+                pred = model.apply({"params": baked}, phoneme, pad_mask,
                                    train=False)
                 return pred["mel"], pred["mel_len"], pred["duration"]
+
+            def acoustic(_params, phoneme, pad_mask):
+                return acoustic_impl(phoneme, pad_mask)
 
             self._jitted[("acoustic", bucket)] = fn = acoustic
         return fn
