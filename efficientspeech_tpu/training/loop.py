@@ -84,7 +84,11 @@ class Trainer:
             self.train_ds, train_cfg.batch_size, shuffle=True,
             seed=train_cfg.seed,
             max_phoneme_len=model_cfg.max_phoneme_len,
-            max_mel_len=model_cfg.max_mel_len, drop_last=True)
+            max_mel_len=model_cfg.max_mel_len, drop_last=True,
+            # the train-mode model expands into a cfg.max_mel_len buffer, so
+            # every batch must arrive at exactly that static shape (also:
+            # ONE compiled train step for the whole run; loss is masked)
+            fixed_shape=True)
         data_size = int(self.mesh.shape.get("data", 1))
         self.val_loader = BucketedLoader(
             self.val_ds, train_cfg.batch_size, shuffle=False,
@@ -229,7 +233,10 @@ class Trainer:
         step = start_step
 
         for epoch in range(start_epoch, max_epochs):
-            sums: Dict[str, float] = {}
+            # accumulate metric sums ON DEVICE; one fetch per epoch — a
+            # per-step device_get costs a full relay round trip on tunneled
+            # TPUs and stalls the async dispatch queue
+            acc = None
             count = 0
             self.train_loader.epoch = epoch  # deterministic resume order
             for batch in self.train_loader:
@@ -238,11 +245,13 @@ class Trainer:
                 self.state, metrics = self.train_step(self.state, sharded)
                 step += 1
                 count += 1
-                for k, v in jax.device_get(metrics).items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                acc = metrics if acc is None else jax.tree.map(
+                    jnp.add, acc, metrics)
                 if max_steps is not None and step >= max_steps:
                     break
 
+            sums = {k: float(v)
+                    for k, v in jax.device_get(acc or {}).items()}
             scalars = {k.replace("_loss", ""): v / max(count, 1)
                        for k, v in sums.items()}
             scalars["lr"] = float(self.lr_schedule(step))
