@@ -52,12 +52,14 @@ def main():
                              "with batched synthesis")
     parser.add_argument("--batch", type=int, default=16,
                         help="batch size for --metric batch_rtf")
-    parser.add_argument("--vocoder", default="folded",
+    parser.add_argument("--vocoder", default="folded_pallas",
                         choices=["folded", "folded_pallas", "chunked"],
-                        help="folded_pallas routes single-utterance "
-                             "vocoding through the fused Pallas kernel "
-                             "(1.6x the XLA matmuls at the 4096-frame "
-                             "serving shape)")
+                        help="folded_pallas (default) routes single-"
+                             "utterance vocoding >=2048 frames through the "
+                             "fused Pallas kernel — 1.6x the XLA matmuls "
+                             "at the 4096-frame serving shape (device-"
+                             "level measurement; end-to-end runs are "
+                             "dominated by +-40%% relay load variance)")
     parser.add_argument("--transfer", default="mulaw",
                         choices=["f32", "int16", "mulaw"],
                         help="device→host PCM wire format.  mulaw (8-bit "
