@@ -70,6 +70,7 @@ class Synthesizer:
         self.transfer = transfer
         self.spec_expansion = spec_expansion
         self.spec_min_frames = SPEC_MIN_FRAMES
+        self._obs_ratio = None  # max observed mel frames per phoneme
         self._folded_params = None
         self._packed_folded = None
         self.preprocess_cfg = preprocess_cfg or PreprocessConfig()
@@ -165,15 +166,44 @@ class Synthesizer:
             self._jitted[key] = fn = call
         return fn
 
-    def _spec_frames(self, n_phonemes: int, bucket: int) -> int:
-        """Pow2-quantized speculative mel-frame count for a phoneme count
-        (few distinct values ⇒ few compiled programs)."""
-        need = max(self.spec_min_frames, n_phonemes * self.spec_expansion)
-        f = self.spec_min_frames
+    def _observe_ratio(self, mel_len: int, n_phonemes: int):
+        """Track the served model's frames-per-phoneme so speculation
+        self-tunes: after warmup the buffers shrink from the conservative
+        static default to observed_max × 1.25 (fewer vocoder FLOPs and —
+        dominant on tunneled links — fewer fetch bytes)."""
+        if n_phonemes > 0 and mel_len > 0:
+            r = mel_len / n_phonemes
+            if self._obs_ratio is None or r > self._obs_ratio:
+                self._obs_ratio = r
+
+    def _spec_levels(self, bucket: int):
+        """{pow2, 1.5·pow2} frame-count ladder (multiples of 512 so every
+        level re-grids cleanly; few distinct values ⇒ few compiles)."""
         cap = bucket * self.mel_expansion
-        while f < need and f < cap:
+        levels, f = [], self.spec_min_frames
+        while f < cap:
+            levels.append(f)
+            if f * 3 // 2 < cap and f * 3 % 2 == 0 and f >= 1024:
+                levels.append(f * 3 // 2)
             f *= 2
-        return min(f, cap)
+        levels.append(cap)
+        return sorted(set(levels))
+
+    def _spec_frames(self, n_phonemes: int, bucket: int,
+                     min_frames: int = 0) -> int:
+        """Speculative mel-frame count for a phoneme count: adaptive
+        expansion (observed × 1.25 once warmed, else the static default),
+        quantized UP to the level ladder.  ``min_frames`` forces a floor
+        (used by the undershoot fallback, where the true length is known)."""
+        exp = self.spec_expansion
+        if self._obs_ratio is not None:
+            exp = min(exp, max(4.0, self._obs_ratio * 1.25))
+        need = max(self.spec_min_frames, int(np.ceil(n_phonemes * exp)),
+                   min_frames)
+        for level in self._spec_levels(bucket):
+            if level >= need:
+                return level
+        return bucket * self.mel_expansion
 
     def _ensure_folded(self):
         if self._folded_params is None:
@@ -307,10 +337,13 @@ class Synthesizer:
             pcm, mel_len_arr, duration = fused(phoneme)
             pcm_np, mel_len_np = jax.device_get((pcm, mel_len_arr))
             mel_len = int(mel_len_np[0])
-            if mel_len > spec:  # speculation undershot: full-size re-run
+            self._observe_ratio(mel_len, n_valid)
+            if mel_len > spec:  # undershoot: re-run at the now-known size
                 full = bucket * self.mel_expansion
                 if spec < full:
-                    fused = self._get_fused(bucket, full)
+                    spec = self._spec_frames(n_valid, bucket,
+                                             min_frames=min(mel_len, full))
+                    fused = self._get_fused(bucket, spec)
                     pcm, mel_len_arr, duration = fused(phoneme)
                     pcm_np, mel_len_np = jax.device_get((pcm, mel_len_arr))
                 mel_len = min(int(mel_len_np[0]), full)
@@ -466,9 +499,14 @@ class Synthesizer:
         fused = self._get_fused(bucket, spec)
         pcm, mel_len_arr, _ = fused(phoneme)
         pcm_np, mel_lens = jax.device_get((pcm, mel_len_arr))
+        for i, r in enumerate(rows):
+            self._observe_ratio(int(mel_lens[i]), len(r))
         full = bucket * self.mel_expansion
-        if mel_lens.max() > spec and spec < full:  # undershoot: re-run full
-            fused = self._get_fused(bucket, full)
+        if mel_lens.max() > spec and spec < full:  # undershoot: exact re-run
+            spec = self._spec_frames(
+                min(max_len, bucket), bucket,
+                min_frames=min(int(mel_lens.max()), full))
+            fused = self._get_fused(bucket, spec)
             pcm, mel_len_arr, _ = fused(phoneme)
             pcm_np, mel_lens = jax.device_get((pcm, mel_len_arr))
         mel_lens = np.minimum(mel_lens, pcm_np.shape[1]

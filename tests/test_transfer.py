@@ -139,3 +139,29 @@ def test_tts_batch_segments_overlong_text(synth):
         np.testing.assert_allclose(wav_long, wav_ref, atol=2e-5)
     finally:
         synth.transfer = "int16"
+
+
+def test_adaptive_speculation_shrinks_buffers(synth):
+    """After observing the model's frames/phoneme ratio, speculation sizes
+    buffers near observed*1.25 instead of the static default, and an
+    undershoot falls back to a level that fits the now-known length."""
+    synth._obs_ratio = None
+    text = "the quick brown fox jumps over the lazy dog"
+    wav, info = synth.tts(text)
+    assert synth._obs_ratio is not None
+    seq = synth.phonemize(text)
+    n = min(len(seq), synth.phoneme_buckets[-1])
+    bucket = 32
+    warm_spec = synth._spec_frames(n, bucket)
+    # warm speculation must cover the observed expansion with margin
+    assert warm_spec >= info["mel_len"]
+    # forcing a tiny ratio then a big min_frames floor must respect it
+    assert synth._spec_frames(n, bucket, min_frames=90) >= 90
+    # ladder values are multiples of the minimum level
+    for level in synth._spec_levels(bucket):
+        assert level % synth.spec_min_frames == 0 or \
+            level == bucket * synth.mel_expansion
+    # synthesis still correct end-to-end with the adapted buffers
+    wav2, info2 = synth.tts(text)
+    assert info2["mel_len"] == info["mel_len"]
+    assert len(wav2) == len(wav)
