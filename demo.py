@@ -44,8 +44,29 @@ def get_args():
     return parser.parse_args()
 
 
+def _maybe_download(checkpoint):
+    """URL checkpoints are fetched to the working directory first
+    (reference: demo.py:100-102).  Zero-egress environments get a clear
+    error instead of a hang."""
+    if not (checkpoint and checkpoint.startswith(("http://", "https://"))):
+        return checkpoint
+    import urllib.request
+
+    local = checkpoint.rsplit("/", 1)[-1]
+    if not os.path.isfile(local):
+        print(f"downloading {checkpoint} -> {local}")
+        try:
+            urllib.request.urlretrieve(checkpoint, local)
+        except OSError as e:
+            raise SystemExit(
+                f"could not download {checkpoint}: {e} "
+                "(no network egress? pass a local path instead)") from e
+    return local
+
+
 def main():
     args = get_args()
+    args.checkpoint = _maybe_download(args.checkpoint)
 
     import jax.numpy as jnp
     import numpy as np

@@ -37,8 +37,9 @@ MEL_EXPANSION = 16
 # phoneme count (pow2-quantized, so few compiles): vocoder FLOPs and —
 # critically on tunneled TPUs — the PCM fetch bytes scale with the expected
 # utterance length instead of the 16× worst case.  8 frames/phoneme is ~25%
-# headroom over LJSpeech's ~6.5 mean; an undershoot falls back to the 16×
-# program (one extra round trip, rare).
+# headroom over LJSpeech's ~6.5 mean (and self-tunes to the served model's
+# observed ratio after warmup); an undershoot falls back to a level sized
+# by the then-known true length (one extra round trip, rare).
 SPEC_EXPANSION = 8
 SPEC_MIN_FRAMES = 512
 

@@ -12,9 +12,7 @@ raw/LJSpeech/*.wav + *.lab and preprocessed/TextGrid/LJSpeech/*.TextGrid.
 """
 
 import argparse
-import json
 import os
-import sys
 import time
 
 import numpy as np

@@ -57,3 +57,31 @@ def test_convert_cli_roundtrip(tmp_path):
         np.random.default_rng(0).integers(1, 152, (1, 16)), jnp.int32)
     wav, wav_len, mel_len, dur = runner(phoneme, jnp.zeros((1, 16), bool))
     assert np.isfinite(np.asarray(wav, np.float32)).all()
+
+
+def test_demo_url_checkpoint_download_paths(tmp_path, monkeypatch):
+    """URL checkpoints resolve to a local file (reference demo.py:100-102);
+    zero-egress failures raise a clear SystemExit instead of hanging."""
+    import demo
+
+    # non-URL passes through untouched
+    assert demo._maybe_download("local.ckpt") == "local.ckpt"
+    assert demo._maybe_download(None) is None
+
+    # already-downloaded file short-circuits (no network touched)
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "tiny_eng.ckpt").write_bytes(b"x")
+    assert demo._maybe_download(
+        "https://example.com/x/tiny_eng.ckpt") == "tiny_eng.ckpt"
+
+    # download failure (zero egress) surfaces as SystemExit
+    import urllib.request
+
+    def boom(url, filename):
+        raise OSError("no route to host")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", boom)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        demo._maybe_download("https://example.com/x/absent.ckpt")
