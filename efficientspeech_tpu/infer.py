@@ -158,8 +158,12 @@ class Synthesizer:
                 wav = folded_plan_apply(arrs, meta, cfg, pred["mel"],
                                         valid_len=mel_len, dtype=dtype,
                                         use_pallas=up)
-                return (encode_device(wav, fmt), pred["mel_len"],
-                        pred["duration"])
+                pcm = encode_device(wav, fmt)
+                # return the PCM as per-row arrays: the relay transfers
+                # ~1 MB arrays ~1.5× faster (and far more predictably)
+                # than one multi-MB buffer (measured)
+                rows = tuple(pcm[i] for i in range(pcm.shape[0]))
+                return rows, pred["mel_len"], pred["duration"]
 
             def call(phoneme):
                 return fused(self._packed_folded[0], phoneme)
@@ -198,7 +202,7 @@ class Synthesizer:
         (used by the undershoot fallback, where the true length is known)."""
         exp = self.spec_expansion
         if self._obs_ratio is not None:
-            exp = min(exp, max(4.0, self._obs_ratio * 1.25))
+            exp = min(exp, max(4.0, self._obs_ratio * 1.2))
         need = max(self.spec_min_frames, int(np.ceil(n_phonemes * exp)),
                    min_frames)
         for level in self._spec_levels(bucket):
@@ -349,7 +353,7 @@ class Synthesizer:
                     pcm_np, mel_len_np = jax.device_get((pcm, mel_len_arr))
                 mel_len = min(int(mel_len_np[0]), full)
             wav = decode_host(
-                pcm_np[0, : mel_len * self.hifigan_cfg.total_upsample],
+                pcm_np[0][: mel_len * self.hifigan_cfg.total_upsample],
                 self.transfer)
             return wav, mel_len, duration
 
@@ -510,7 +514,7 @@ class Synthesizer:
             fused = self._get_fused(bucket, spec)
             pcm, mel_len_arr, _ = fused(phoneme)
             pcm_np, mel_lens = jax.device_get((pcm, mel_len_arr))
-        mel_lens = np.minimum(mel_lens, pcm_np.shape[1]
+        mel_lens = np.minimum(mel_lens, pcm_np[0].shape[0]
                               // self.hifigan_cfg.total_upsample)
         elapsed = time.time() - t0
 
@@ -518,7 +522,7 @@ class Synthesizer:
         per_text_wavs = [[] for _ in texts]
         per_text_mel = [0] * len(texts)
         for i in range(b):
-            w = decode_host(pcm_np[i, : int(mel_lens[i]) * up],
+            w = decode_host(pcm_np[i][: int(mel_lens[i]) * up],
                             self.transfer)
             per_text_wavs[owner[i]].append(w)
             per_text_mel[owner[i]] += int(mel_lens[i])
