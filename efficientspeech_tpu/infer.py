@@ -150,14 +150,22 @@ class Synthesizer:
                                       pred["mel"].shape[1])
                 # the pallas fused kernel is single-utterance only and only
                 # beats XLA where the window materialization dominates
-                # (measured: 1.4-1.6x at >=2048 frames, ~0.9x below);
-                # batched or small traces of the same program fall back to
-                # XLA matmuls (shape is static per trace — branch is free)
-                up = (use_pallas and phoneme.shape[0] == 1
-                      and out_frames >= 2048)
-                wav = folded_plan_apply(arrs, meta, cfg, pred["mel"],
-                                        valid_len=mel_len, dtype=dtype,
-                                        use_pallas=up)
+                # (measured: 1.4-1.6x at >=2048 frames, ~0.9x below); small
+                # traces fall back to XLA matmuls, batched traces loop the
+                # kernel over rows (shape is static per trace — free branch)
+                up = use_pallas and out_frames >= 2048
+                if up and phoneme.shape[0] > 1:
+                    def _one(args):
+                        m, l = args
+                        return folded_plan_apply(
+                            arrs, meta, cfg, m[None], valid_len=l[None],
+                            dtype=dtype, use_pallas=True)[0]
+
+                    wav = jax.lax.map(_one, (pred["mel"], mel_len))
+                else:
+                    wav = folded_plan_apply(arrs, meta, cfg, pred["mel"],
+                                            valid_len=mel_len, dtype=dtype,
+                                            use_pallas=up)
                 pcm = encode_device(wav, fmt)
                 # return the PCM as per-row arrays: the relay transfers
                 # ~1 MB arrays ~1.5× faster (and far more predictably)
