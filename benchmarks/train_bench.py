@@ -4,13 +4,59 @@
 Reference anchor: tiny training is ~17 h for 5000 epochs of LJSpeech on one
 A100 (reference: README.md:102) ≈ 8 steps/s at batch 128.
 
-    python benchmarks/train_bench.py --preset tiny --batch-size 128 --steps 30
+Feed modes (--feed):
+  resident      the SAME device batch every step — the pure device-step
+                ceiling (no data movement at all)
+  host          a host batch uploaded every step — the reference-style
+                DataLoader feed (on tunneled rigs this is the measured
+                bottleneck: each step ships ~42 MB at batch 128)
+  device-cache  the device-resident corpus (data/device_cache.py): the
+                whole dataset lives in HBM, each step uploads only B int32
+                indices and gathers on device
+
+    python benchmarks/train_bench.py --feed device-cache --steps 200
 """
 
 import argparse
 import time
 
 import numpy as np
+
+
+def synth_samples(rng, s, n, m):
+    """Synthetic per-utterance features shaped like the preprocessed corpus."""
+    lens = rng.integers(n // 2, n + 1, size=s)
+    cache = {
+        "phoneme": np.zeros((s, n), np.int32),
+        "pitch": rng.normal(size=(s, n)).astype(np.float32),
+        "energy": rng.normal(size=(s, n)).astype(np.float32),
+        "duration": np.zeros((s, n), np.int32),
+        "mel": rng.normal(size=(s, m, 80)).astype(np.float32),
+        "phoneme_len": lens.astype(np.int32),
+        "mel_len": np.zeros((s,), np.int32),
+    }
+    for i, L in enumerate(lens):
+        cache["phoneme"][i, :L] = rng.integers(1, 152, size=L)
+        d = np.minimum(rng.integers(4, 9, size=L), m // L)
+        cache["duration"][i, :L] = d
+        cache["mel_len"][i] = d.sum()
+        cache["pitch"][i, L:] = 0.0
+        cache["energy"][i, L:] = 0.0
+    return cache
+
+
+def batch_from_cache(cache, idx, n, m):
+    plen = cache["phoneme_len"][idx]
+    mlen = cache["mel_len"][idx]
+    return {
+        "phoneme": cache["phoneme"][idx],
+        "phoneme_mask": np.arange(n)[None, :] >= plen[:, None],
+        "pitch": cache["pitch"][idx],
+        "energy": cache["energy"][idx],
+        "duration": cache["duration"][idx],
+        "mel": cache["mel"][idx],
+        "mel_mask": np.arange(m)[None, :] >= mlen[:, None],
+    }
 
 
 def main():
@@ -22,6 +68,10 @@ def main():
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--data-parallel", type=int, default=None)
+    parser.add_argument("--feed", default="resident",
+                        choices=["resident", "host", "device-cache"])
+    parser.add_argument("--corpus-size", type=int, default=2000,
+                        help="synthetic corpus size for --feed device-cache")
     args = parser.parse_args()
 
     import jax
@@ -32,6 +82,8 @@ def main():
     enable_compilation_cache()
 
     from efficientspeech_tpu.config import ModelConfig, TrainConfig
+    from efficientspeech_tpu.data.device_cache import (
+        make_cached_train_step, upload_cache)
     from efficientspeech_tpu.models.phoneme2mel import Phoneme2Mel
     from efficientspeech_tpu.parallel import make_mesh, shard_batch
     from efficientspeech_tpu.training.state import (
@@ -46,23 +98,8 @@ def main():
     model = Phoneme2Mel(cfg, dtype=dtype)
 
     rng = np.random.default_rng(0)
-    lens = rng.integers(n // 2, n + 1, size=b)
-    phoneme = np.zeros((b, n), np.int32)
-    pad_mask = np.ones((b, n), bool)
-    duration = np.zeros((b, n), np.int32)
-    for i, L in enumerate(lens):
-        phoneme[i, :L] = rng.integers(1, 152, size=L)
-        pad_mask[i, :L] = False
-        duration[i, :L] = np.minimum(rng.integers(4, 9, size=L), m // L)
-    mel_len = duration.sum(1)
-    batch = {
-        "phoneme": phoneme, "phoneme_mask": pad_mask,
-        "pitch": (rng.normal(size=(b, n)) * ~pad_mask).astype(np.float32),
-        "energy": (rng.normal(size=(b, n)) * ~pad_mask).astype(np.float32),
-        "duration": duration,
-        "mel": rng.normal(size=(b, m, 80)).astype(np.float32),
-        "mel_mask": np.arange(m)[None, :] >= mel_len[:, None],
-    }
+    s = args.corpus_size if args.feed == "device-cache" else b
+    host_cache = synth_samples(rng, s, n, m)
 
     params = host_init(lambda: model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, n), jnp.int32),
@@ -76,20 +113,48 @@ def main():
     state = jax.device_put(
         create_train_state({"phoneme2mel": params}, train_cfg, 100),
         NamedSharding(mesh, P()))
-    step_fn = make_train_step(model, tx, mesh=mesh)
 
-    sharded = shard_batch(batch, mesh)
-    state, metrics = step_fn(state, sharded)  # compile
-    jax.block_until_ready(metrics)
+    if args.feed == "device-cache":
+        cached_step = make_cached_train_step(model, tx, mesh=mesh)
+        t_up = time.time()
+        dev_cache = upload_cache(host_cache, mesh=mesh)
+        jax.block_until_ready(dev_cache["mel"])
+        up_mb = sum(v.nbytes for v in host_cache.values()) / 2**20
+        print(f"cache upload: {up_mb:.0f} MB in {time.time()-t_up:.1f} s "
+              f"({s} utterances)")
 
-    t0 = time.time()
-    for _ in range(args.steps):
-        state, metrics = step_fn(state, sharded)
-    jax.block_until_ready(metrics)
-    dt = (time.time() - t0) / args.steps
+        idx0 = rng.integers(0, s, size=b).astype(np.int32)
+        state, metrics = cached_step(state, dev_cache, idx0)  # compile
+        print("compiled; loss:", float(jax.device_get(metrics["loss"])))
+
+        idxs = [rng.permutation(s)[:b].astype(np.int32)
+                for _ in range(args.steps)]
+        t0 = time.time()
+        for idx in idxs:
+            state, metrics = cached_step(state, dev_cache, idx)
+        jax.device_get(metrics["loss"])  # barrier (device_get, not block)
+        dt = (time.time() - t0) / args.steps
+    else:
+        step_fn = make_train_step(model, tx, mesh=mesh)
+        batch = batch_from_cache(host_cache, np.arange(b) % s, n, m)
+        sharded = shard_batch(batch, mesh)
+        state, metrics = step_fn(state, sharded)  # compile
+        jax.block_until_ready(metrics)
+
+        t0 = time.time()
+        for i in range(args.steps):
+            if args.feed == "host":
+                # fresh upload every step (rotate rows so args vary)
+                batch = batch_from_cache(
+                    host_cache, (np.arange(b) + i) % s, n, m)
+                sharded = shard_batch(batch, mesh)
+            state, metrics = step_fn(state, sharded)
+        jax.device_get(metrics["loss"])
+        dt = (time.time() - t0) / args.steps
+
     print(f"step: {dt*1e3:.1f} ms  ->  {1/dt:.2f} steps/s "
-          f"(batch {b}, {n} phonemes, {m} mel frames, {args.precision}, "
-          f"mesh {mesh.shape})")
+          f"(feed {args.feed}, batch {b}, {n} phonemes, {m} mel frames, "
+          f"{args.precision}, mesh {mesh.shape})")
     print(f"epoch of 12588 utts: {12588/b*dt:.1f} s; "
           f"5000 epochs: {12588/b*dt*5000/3600:.1f} h "
           f"(reference: ~17 h on A100)")

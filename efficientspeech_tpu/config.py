@@ -200,6 +200,11 @@ class TrainConfig:
     seed: int = 0
     val_every_n_epochs: int = 10
     num_data_axis: int = 1  # mesh data-parallel degree; 1 = single chip
+    # device-resident dataset: upload the whole preprocessed corpus to HBM
+    # once; each step transfers only its batch indices (see
+    # data/device_cache.py).  bf16_mel halves the cache footprint/upload.
+    device_data: bool = False
+    device_cache_bf16_mel: bool = False
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "logs"
     wav_path: str = "wavs"

@@ -120,6 +120,25 @@ class Trainer:
         self._vocoder = None
         self._val_predict = None
 
+        # device-resident corpus: the whole train set lives in HBM; each
+        # step uploads only B int32 indices (the host-fed loader ships a
+        # full multi-MB batch per step — the measured bottleneck at scale)
+        self.device_cache = None
+        self._cached_step = None
+        if train_cfg.device_data:
+            from efficientspeech_tpu.data.device_cache import (
+                DeviceDataCache, make_cached_train_step)
+
+            mel_dtype = jnp.bfloat16 if train_cfg.device_cache_bf16_mel \
+                else np.float32
+            self.device_cache = DeviceDataCache(
+                self.train_ds, model_cfg.max_phoneme_len,
+                model_cfg.max_mel_len, mel_dtype=mel_dtype, mesh=self.mesh)
+            self._cached_step = make_cached_train_step(
+                self.model, self.tx, mesh=self.mesh)
+            print(f"device data cache: {self.device_cache.num_samples} "
+                  f"samples, {self.device_cache.nbytes / 2**20:.0f} MB")
+
     def _init_params(self):
         b = self.train_cfg.batch_size
         n = self.model_cfg.max_phoneme_len
@@ -238,17 +257,33 @@ class Trainer:
             # TPUs and stalls the async dispatch queue
             acc = None
             count = 0
-            self.train_loader.epoch = epoch  # deterministic resume order
-            for batch in self.train_loader:
-                host_batch = {k: v for k, v in batch.items() if k != "text"}
-                sharded = shard_batch(host_batch, self.mesh)
-                self.state, metrics = self.train_step(self.state, sharded)
-                step += 1
-                count += 1
-                acc = metrics if acc is None else jax.tree.map(
-                    jnp.add, acc, metrics)
-                if max_steps is not None and step >= max_steps:
-                    break
+            if self.device_cache is not None:
+                # device-resident path: per-step upload is B indices only
+                idx_mat = self.device_cache.epoch_batches(
+                    self.train_cfg.batch_size, epoch,
+                    seed=self.train_cfg.seed)
+                for row in idx_mat:
+                    self.state, metrics = self._cached_step(
+                        self.state, self.device_cache.arrays, row)
+                    step += 1
+                    count += 1
+                    acc = metrics if acc is None else jax.tree.map(
+                        jnp.add, acc, metrics)
+                    if max_steps is not None and step >= max_steps:
+                        break
+            else:
+                self.train_loader.epoch = epoch  # deterministic resume order
+                for batch in self.train_loader:
+                    host_batch = {k: v for k, v in batch.items()
+                                  if k != "text"}
+                    sharded = shard_batch(host_batch, self.mesh)
+                    self.state, metrics = self.train_step(self.state, sharded)
+                    step += 1
+                    count += 1
+                    acc = metrics if acc is None else jax.tree.map(
+                        jnp.add, acc, metrics)
+                    if max_steps is not None and step >= max_steps:
+                        break
 
             sums = {k: float(v)
                     for k, v in jax.device_get(acc or {}).items()}

@@ -1,0 +1,195 @@
+"""Device-resident data cache: alignment parity with the host loader,
+train-step numerics parity (single device and DP mesh), epoch coverage."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import mini_corpus, preprocessed_corpus  # noqa: F401
+
+N_PAD, M_PAD = 32, 256
+
+
+def _dataset(preprocessed_corpus):
+    from efficientspeech_tpu.data.dataset import LJSpeechDataset
+
+    return LJSpeechDataset("train.txt", preprocessed_corpus)
+
+
+def _host_batch_from_cache(host, idx):
+    """What gather_batch computes, in numpy (for feeding the host step)."""
+    n_pad = host["phoneme"].shape[1]
+    m_pad = host["mel"].shape[1]
+    plen = host["phoneme_len"][idx]
+    mlen = host["mel_len"][idx]
+    return {
+        "phoneme": host["phoneme"][idx],
+        "phoneme_mask": np.arange(n_pad)[None, :] >= plen[:, None],
+        "pitch": host["pitch"][idx],
+        "energy": host["energy"][idx],
+        "duration": host["duration"][idx],
+        "mel": host["mel"][idx].astype(np.float32),
+        "mel_mask": np.arange(m_pad)[None, :] >= mlen[:, None],
+    }
+
+
+def test_cache_rows_match_loader_assembly(preprocessed_corpus):
+    """Each cache row must equal the BucketedLoader's single-sample batch
+    (same padding, duration clamping, and mask semantics)."""
+    from efficientspeech_tpu.data.dataset import BucketedLoader
+    from efficientspeech_tpu.data.device_cache import build_host_cache
+
+    ds = _dataset(preprocessed_corpus)
+    host = build_host_cache(ds, N_PAD, M_PAD)
+    loader = BucketedLoader(ds, batch_size=1, shuffle=False,
+                            max_phoneme_len=N_PAD, max_mel_len=M_PAD,
+                            fixed_shape=True, prefetch=0)
+    for i in range(len(ds)):
+        ref = loader._assemble(np.array([i]))
+        got = _host_batch_from_cache(host, np.array([i]))
+        for k in ("phoneme", "phoneme_mask", "pitch", "energy",
+                  "duration", "mel", "mel_mask"):
+            np.testing.assert_array_equal(got[k], ref[k], err_msg=f"{k}[{i}]")
+
+
+def _model_and_state(preprocessed_corpus, steps_per_epoch=4):
+    from efficientspeech_tpu.config import ModelConfig, TrainConfig
+    from efficientspeech_tpu.models.phoneme2mel import Phoneme2Mel
+    from efficientspeech_tpu.training.state import (create_train_state,
+                                                    make_optimizer)
+
+    stats = json.load(open(os.path.join(
+        preprocessed_corpus.preprocessed_path, "stats.json")))
+    cfg = ModelConfig.preset(
+        "tiny", pitch_stats=tuple(stats["pitch"][:2]),
+        energy_stats=tuple(stats["energy"][:2]),
+        max_phoneme_len=N_PAD, max_mel_len=M_PAD)
+    train_cfg = TrainConfig(batch_size=4, max_epochs=2, warmup_epochs=1)
+    model = Phoneme2Mel(cfg, dtype=jnp.float32)
+    dummy = jnp.zeros((1, N_PAD), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), dummy,
+                        jnp.ones((1, N_PAD), bool),
+                        pitch_target=jnp.zeros((1, N_PAD), jnp.float32),
+                        energy_target=jnp.zeros((1, N_PAD), jnp.float32),
+                        duration_target=jnp.ones((1, N_PAD), jnp.int32),
+                        train=True)["params"]
+    tx = make_optimizer(train_cfg, steps_per_epoch)
+    state = create_train_state({"phoneme2mel": params}, train_cfg,
+                               steps_per_epoch)
+    return model, tx, state
+
+
+def test_cached_step_matches_host_step(preprocessed_corpus):
+    """One cached train step == one host-fed train step, bit-for-bit inputs:
+    same batch, same state ⇒ same metrics and same updated params."""
+    from efficientspeech_tpu.data.device_cache import (build_host_cache,
+                                                       make_cached_train_step,
+                                                       upload_cache)
+    from efficientspeech_tpu.training.step import make_train_step
+
+    ds = _dataset(preprocessed_corpus)
+    host = build_host_cache(ds, N_PAD, M_PAD)
+    idx = np.arange(min(4, len(ds)), dtype=np.int32)
+
+    model, tx, state = _model_and_state(preprocessed_corpus)
+    host_step = make_train_step(model, tx, donate=False)
+    cached_step = make_cached_train_step(model, tx, donate=False)
+
+    batch = _host_batch_from_cache(host, idx)
+    s1, m1 = host_step(state, batch)
+    s2, m2 = cached_step(state, upload_cache(host), idx)
+
+    for k in m1:
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_cached_step_mesh_matches_single_device(preprocessed_corpus):
+    """DP-sharded cached step (4-way data mesh, replicated cache, sharded
+    indices) == single-device numerics."""
+    from efficientspeech_tpu.data.device_cache import (build_host_cache,
+                                                       make_cached_train_step,
+                                                       upload_cache)
+    from efficientspeech_tpu.parallel import make_mesh
+
+    ds = _dataset(preprocessed_corpus)
+    host = build_host_cache(ds, N_PAD, M_PAD)
+    idx = np.arange(4, dtype=np.int32) % len(ds)
+
+    model, tx, state = _model_and_state(preprocessed_corpus)
+    single = make_cached_train_step(model, tx, donate=False)
+    s1, m1 = single(state, upload_cache(host), idx)
+
+    mesh = make_mesh(data_parallel=4, model_parallel=1)
+    sharded = make_cached_train_step(model, tx, mesh=mesh, donate=False)
+    cache_dev = upload_cache(host, mesh=mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state_r = jax.device_put(state, NamedSharding(mesh, P()))
+    s2, m2 = sharded(state_r, cache_dev, idx)
+
+    for k in m1:
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_epoch_batches_cover_and_deterministic(preprocessed_corpus):
+    from efficientspeech_tpu.data.device_cache import DeviceDataCache
+
+    ds = _dataset(preprocessed_corpus)
+    cache = DeviceDataCache(ds, N_PAD, M_PAD)
+    b = 2
+    m1 = cache.epoch_batches(b, epoch=3, seed=7)
+    m2 = cache.epoch_batches(b, epoch=3, seed=7)
+    np.testing.assert_array_equal(m1, m2)
+    m3 = cache.epoch_batches(b, epoch=4, seed=7)
+    assert not np.array_equal(m1, m3) or len(ds) <= 2
+    # full coverage of the dropped-to-multiple prefix
+    assert set(m1.ravel()) <= set(range(len(ds)))
+    assert len(set(m1.ravel())) == m1.size  # no repeats within an epoch
+
+    # corpus smaller than one batch: resamples up to one full batch
+    tiny = cache.epoch_batches(len(ds) + 3, epoch=0, seed=0)
+    assert tiny.shape == (1, len(ds) + 3)
+
+
+def test_trainer_device_data_smoke(preprocessed_corpus, tmp_path):
+    """Trainer.fit with device_data=True runs end-to-end and logs metrics."""
+    from efficientspeech_tpu.config import ModelConfig, TrainConfig
+    from efficientspeech_tpu.parallel import make_mesh
+    from efficientspeech_tpu.training.loop import Trainer
+
+    stats = json.load(open(os.path.join(
+        preprocessed_corpus.preprocessed_path, "stats.json")))
+    model_cfg = ModelConfig.preset(
+        "tiny", pitch_stats=tuple(stats["pitch"][:2]),
+        energy_stats=tuple(stats["energy"][:2]),
+        max_phoneme_len=N_PAD, max_mel_len=M_PAD)
+    train_cfg = TrainConfig(
+        batch_size=2, max_epochs=1, warmup_epochs=1,
+        device_data=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        wav_path=str(tmp_path / "wavs"))
+    mesh = make_mesh(data_parallel=2, model_parallel=1)
+    trainer = Trainer(model_cfg, train_cfg, preprocessed_corpus,
+                      dtype=jnp.float32, mesh=mesh)
+    final_step = trainer.fit(max_epochs=1)
+    assert final_step >= 1
+    lines = [json.loads(l) for l in open(
+        os.path.join(train_cfg.log_dir, "metrics.jsonl"))]
+    assert "mel" in lines[-1] and np.isfinite(lines[-1]["mel"])

@@ -37,6 +37,14 @@ def get_args():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--resume", action="store_true",
                         help="resume from latest checkpoint in checkpoint-dir")
+    parser.add_argument("--device-data", action="store_true",
+                        help="upload the whole preprocessed corpus to HBM "
+                             "once and gather batches on device (per-step "
+                             "host traffic drops to the batch indices; "
+                             "removes the host-feed bottleneck)")
+    parser.add_argument("--device-data-bf16-mel", action="store_true",
+                        help="store cached mel targets as bf16 (halves the "
+                             "cache footprint and upload time)")
     return parser.parse_args()
 
 
@@ -71,7 +79,9 @@ def main():
         warmup_epochs=args.warmup_epochs,
         precision=args.precision, seed=args.seed,
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
-        wav_path=args.wav_path)
+        wav_path=args.wav_path,
+        device_data=args.device_data,
+        device_cache_bf16_mel=args.device_data_bf16_mel)
 
     mesh = make_mesh(data_parallel=args.data_parallel)
     print(f"mesh: {mesh.shape} over {jax.device_count()} devices")
