@@ -42,6 +42,11 @@ MEL_EXPANSION = 16
 # by the then-known true length (one extra round trip, rare).
 SPEC_EXPANSION = 8
 SPEC_MIN_FRAMES = 512
+# single-utterance PCM returns as per-chunk arrays of this many frames; the
+# host fetches only the chunks covering the ACTUAL mel length (the
+# speculative buffer is sized with headroom — its tail chunks are silence
+# and never cross the link)
+FETCH_CHUNK_FRAMES = 512
 
 
 class Synthesizer:
@@ -71,6 +76,7 @@ class Synthesizer:
         self.transfer = transfer
         self.spec_expansion = spec_expansion
         self.spec_min_frames = SPEC_MIN_FRAMES
+        self.fetch_chunk_frames = FETCH_CHUNK_FRAMES
         self._obs_ratio = None  # max observed mel frames per phoneme
         self._folded_params = None
         self._packed_folded = None
@@ -169,8 +175,22 @@ class Synthesizer:
                 pcm = encode_device(wav, fmt)
                 # return the PCM as per-row arrays: the relay transfers
                 # ~1 MB arrays ~1.5× faster (and far more predictably)
-                # than one multi-MB buffer (measured)
-                rows = tuple(pcm[i] for i in range(pcm.shape[0]))
+                # than one multi-MB buffer (measured).  Single-utterance
+                # traces split the row further into FETCH_CHUNK_FRAMES
+                # chunks so the host can fetch ONLY the chunks covering the
+                # actual mel length — the speculative buffer's silent tail
+                # never crosses the link.
+                fetch_chunk = self.fetch_chunk_frames
+                if (phoneme.shape[0] == 1
+                        and out_frames % fetch_chunk == 0
+                        and out_frames > fetch_chunk):
+                    samples = fetch_chunk * cfg.total_upsample
+                    row = pcm[0]
+                    rows = tuple(
+                        row[i * samples:(i + 1) * samples]
+                        for i in range(out_frames // fetch_chunk))
+                else:
+                    rows = tuple(pcm[i] for i in range(pcm.shape[0]))
                 return rows, pred["mel_len"], pred["duration"]
 
             def call(phoneme):
@@ -178,6 +198,41 @@ class Synthesizer:
 
             self._jitted[key] = fn = call
         return fn
+
+    def _pcm_chunked(self, batch: int, out_frames: int) -> bool:
+        """Mirrors the trace-time condition in ``_get_fused``: single-
+        utterance programs return per-chunk PCM arrays."""
+        chunk = self.fetch_chunk_frames
+        return (batch == 1 and out_frames % chunk == 0
+                and out_frames > chunk)
+
+    def _fetch_single_pcm(self, parts, mel_len_arr, n_valid: int,
+                          out_frames: int):
+        """Fetch mel_len plus only the PCM chunks that cover it.
+
+        The speculative buffer carries headroom beyond the true utterance;
+        with per-chunk outputs the silent tail stays on device.  The chunk
+        count is predicted from the observed frames/phoneme ratio (exact
+        for repeated texts); an under-prediction costs one extra fetch.
+        Returns (concatenated wire buffer, unclamped mel_len)."""
+        if not self._pcm_chunked(1, out_frames):
+            pcm_np, mel_len_np = jax.device_get((parts, mel_len_arr))
+            return np.asarray(pcm_np[0]), int(mel_len_np[0])
+        chunk = self.fetch_chunk_frames
+        n_chunks = len(parts)
+        if self._obs_ratio is not None and n_valid > 0:
+            exp_frames = int(np.ceil(n_valid * self._obs_ratio))
+            k = min(n_chunks, max(1, -(-exp_frames // chunk)))
+        else:
+            k = n_chunks
+        fetched, mel_len_np = jax.device_get((parts[:k], mel_len_arr))
+        fetched = list(fetched)
+        mel_len = int(mel_len_np[0])
+        covered = min(mel_len, out_frames)
+        need_k = min(n_chunks, max(1, -(-covered // chunk)))
+        if need_k > k:  # under-predicted: fetch the remaining chunks
+            fetched.extend(jax.device_get(parts[k:need_k]))
+        return np.concatenate([np.asarray(c) for c in fetched]), mel_len
 
     def _observe_ratio(self, mel_len: int, n_phonemes: int):
         """Track the served model's frames-per-phoneme so speculation
@@ -348,8 +403,8 @@ class Synthesizer:
             spec = self._spec_frames(n_valid, bucket)
             fused = self._get_fused(bucket, spec)
             pcm, mel_len_arr, duration = fused(phoneme)
-            pcm_np, mel_len_np = jax.device_get((pcm, mel_len_arr))
-            mel_len = int(mel_len_np[0])
+            buf, mel_len = self._fetch_single_pcm(pcm, mel_len_arr,
+                                                  n_valid, spec)
             self._observe_ratio(mel_len, n_valid)
             if mel_len > spec:  # undershoot: re-run at the now-known size
                 full = bucket * self.mel_expansion
@@ -358,10 +413,11 @@ class Synthesizer:
                                              min_frames=min(mel_len, full))
                     fused = self._get_fused(bucket, spec)
                     pcm, mel_len_arr, duration = fused(phoneme)
-                    pcm_np, mel_len_np = jax.device_get((pcm, mel_len_arr))
-                mel_len = min(int(mel_len_np[0]), full)
+                    buf, mel_len = self._fetch_single_pcm(
+                        pcm, mel_len_arr, n_valid, spec)
+                mel_len = min(mel_len, full)
             wav = decode_host(
-                pcm_np[0][: mel_len * self.hifigan_cfg.total_upsample],
+                buf[: mel_len * self.hifigan_cfg.total_upsample],
                 self.transfer)
             return wav, mel_len, duration
 
@@ -508,10 +564,21 @@ class Synthesizer:
         for i, r in enumerate(rows):
             phoneme[i, : len(r)] = r[: bucket]
 
+        def fetch(pcm, mel_len_arr, spec):
+            """Per-row fetch; a single-row batch gets per-chunk arrays
+            (same trace-time condition as _get_fused) and fetches only the
+            covering chunks."""
+            if self._pcm_chunked(b_pad, spec):
+                buf, ml = self._fetch_single_pcm(
+                    pcm, mel_len_arr, min(len(rows[0]), bucket), spec)
+                return [buf], np.asarray([ml])
+            pcm_np, mel_lens = jax.device_get((pcm, mel_len_arr))
+            return list(pcm_np), np.asarray(mel_lens)
+
         t0 = time.time()
         fused = self._get_fused(bucket, spec)
         pcm, mel_len_arr, _ = fused(phoneme)
-        pcm_np, mel_lens = jax.device_get((pcm, mel_len_arr))
+        pcm_np, mel_lens = fetch(pcm, mel_len_arr, spec)
         for i, r in enumerate(rows):
             self._observe_ratio(int(mel_lens[i]), len(r))
         full = bucket * self.mel_expansion
@@ -521,7 +588,7 @@ class Synthesizer:
                 min_frames=min(int(mel_lens.max()), full))
             fused = self._get_fused(bucket, spec)
             pcm, mel_len_arr, _ = fused(phoneme)
-            pcm_np, mel_lens = jax.device_get((pcm, mel_len_arr))
+            pcm_np, mel_lens = fetch(pcm, mel_len_arr, spec)
         mel_lens = np.minimum(mel_lens, pcm_np[0].shape[0]
                               // self.hifigan_cfg.total_upsample)
         elapsed = time.time() - t0

@@ -85,3 +85,35 @@ def test_overlong_text_segments(synth):
     # every segment contributes audio
     wav_short, mel_short, _ = synth.tts_ids_timed(seq[:20])
     assert mel_len > mel_short
+
+
+def test_chunked_partial_fetch_matches_unchunked():
+    """Single-utterance PCM returns per-chunk; fetching only the covering
+    chunks must reproduce the unchunked waveform exactly — including when
+    the chunk-count prediction is too low (extra-fetch path)."""
+    kw = dict(preset="tiny", hifigan_checkpoint="", dtype=jnp.float32,
+              bench_duration_bias=4.0)
+    a = build_synthesizer(**kw)
+    b = build_synthesizer(**kw)
+    for s in (a, b):
+        s.phoneme_buckets = (16, 32)
+        s.mel_expansion = 6
+    a.fetch_chunk_frames = 1 << 30  # chunking disabled
+    b.fetch_chunk_frames = 64       # spec levels (multiples of 64) chunk
+
+    text = "the quick brown fox jumps over the lazy dog"
+    wa, ia = a.tts(text)
+    wb, ib = b.tts(text)
+    assert ia["mel_len"] == ib["mel_len"]
+    np.testing.assert_array_equal(wa, wb)
+
+    # warmed: the observed ratio now predicts the chunk count exactly
+    wb2, _ = b.tts(text)
+    np.testing.assert_array_equal(wa, wb2)
+
+    # force an under-prediction of the chunk count: the fetch helper must
+    # top up with the remaining chunks and still return the full waveform
+    b._obs_ratio = max(0.5, b._obs_ratio * 0.2)
+    wb3, ib3 = b.tts(text)
+    assert ib3["mel_len"] == ia["mel_len"]
+    np.testing.assert_array_equal(wa, wb3)
