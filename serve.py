@@ -27,6 +27,53 @@ import numpy as np
 
 _WAV_FMT = struct.pack("<IHHIIHH", 16, 1, 1, 22050, 22050 * 2, 2, 16)
 
+# Browser playback UI (the reference's GUI demo analogue,
+# reference: demo.py:126-143 / scripts/demo.py — replaced by a zero-
+# dependency HTML page over the same /tts endpoints).
+INDEX_HTML = b"""<!doctype html>
+<html><head><meta charset="utf-8"><title>EfficientSpeech TPU</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:720px;margin:3rem auto;
+      padding:0 1rem;color:#222}
+ textarea{width:100%;height:7rem;font:inherit;padding:.5rem;
+          box-sizing:border-box}
+ button{font:inherit;padding:.5rem 1.5rem;margin-right:.5rem;cursor:pointer}
+ #stats{color:#666;margin-top:.75rem;font-size:.9rem}
+ audio{width:100%;margin-top:1rem}
+</style></head><body>
+<h2>EfficientSpeech &middot; TPU</h2>
+<p>Type text, press Synthesize (buffered) or Stream (chunked WAV &mdash;
+audio starts after the first segment).</p>
+<textarea id="t">The quick brown fox jumps over the lazy dog.</textarea>
+<div>
+ <button onclick="go('/tts')">Synthesize</button>
+ <button onclick="go('/tts_stream')">Stream</button>
+</div>
+<div id="stats"></div>
+<audio id="a" controls></audio>
+<script>
+async function go(ep){
+  const text=document.getElementById('t').value.trim();
+  if(!text)return;
+  const t0=performance.now();
+  const url=ep+'?text='+encodeURIComponent(text);
+  const a=document.getElementById('a');
+  const s=document.getElementById('stats');
+  s.textContent='synthesizing\\u2026';
+  try{
+    const r=await fetch(url);
+    if(!r.ok){s.textContent='error: '+await r.text();return;}
+    const blob=await r.blob();
+    const ms=performance.now()-t0;
+    const rtf=r.headers.get('X-RTF');
+    s.textContent='latency '+ms.toFixed(0)+' ms'+(rtf?'  \\u00b7  RTF '+rtf:'');
+    a.src=URL.createObjectURL(blob);
+    a.play();
+  }catch(e){s.textContent='error: '+e;}
+}
+</script></body></html>
+"""
+
 
 def wav_header(n_pcm_bytes: int, sampling_rate: int) -> bytes:
     """RIFF header; pass n_pcm_bytes=0xFFFFFFF0 for streaming (unknown
@@ -70,6 +117,13 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+                return
+            if parsed.path in ("/", "/index.html"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(INDEX_HTML)))
+                self.end_headers()
+                self.wfile.write(INDEX_HTML)
                 return
             if parsed.path not in ("/tts", "/tts_stream"):
                 self.send_response(404)
@@ -169,7 +223,7 @@ def main():
         synth, stream_segment_phonemes=args.stream_segment_phonemes)
     server = ThreadingHTTPServer((args.host, args.port), handler)
     print(f"serving on http://{args.host}:{args.port}  "
-          f"(/tts?text=..., /tts_stream?text=..., /healthz)")
+          f"(UI at /, /tts?text=..., /tts_stream?text=..., /healthz)")
     server.serve_forever()
 
 

@@ -119,3 +119,17 @@ def test_tts_stream_concat_matches_tts(synth):
     segments = synth._segment(seq, 8)
     parts = [synth.synthesize_ids(s)[0] for s in segments]
     np.testing.assert_allclose(streamed, np.concatenate(parts), atol=1e-6)
+
+
+def test_index_page_served(synth):
+    from serve import make_handler
+
+    server, port = _start(make_handler(synth))
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=30) as r:
+            body = r.read()
+        assert b"<audio" in body and b"/tts" in body
+        assert r.headers["Content-Type"].startswith("text/html")
+    finally:
+        server.shutdown()
