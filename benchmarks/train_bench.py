@@ -28,6 +28,7 @@ def synth_samples(rng, s, n, m):
     lens = rng.integers(n // 2, n + 1, size=s)
     cache = {
         "phoneme": np.zeros((s, n), np.int32),
+        "speaker": np.zeros((s,), np.int32),
         "pitch": rng.normal(size=(s, n)).astype(np.float32),
         "energy": rng.normal(size=(s, n)).astype(np.float32),
         "duration": np.zeros((s, n), np.int32),
@@ -51,6 +52,7 @@ def batch_from_cache(cache, idx, n, m):
     return {
         "phoneme": cache["phoneme"][idx],
         "phoneme_mask": np.arange(n)[None, :] >= plen[:, None],
+        "speaker": cache["speaker"][idx],
         "pitch": cache["pitch"][idx],
         "energy": cache["energy"][idx],
         "duration": cache["duration"][idx],

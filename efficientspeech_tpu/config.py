@@ -60,6 +60,10 @@ class ModelConfig:
     # static shape buckets (TPU-native: one compiled program per bucket)
     max_phoneme_len: int = 256
     max_mel_len: int = 2048
+    # multi-speaker hook (beyond the single-speaker reference): >1 adds a
+    # learned speaker embedding to the fused encoder features
+    # (FastSpeech2-style).  1 = no extra parameters, checkpoint-compatible.
+    n_speakers: int = 1
 
     @property
     def filter_dim(self) -> int:

@@ -41,6 +41,11 @@ class LJSpeechDataset:
         self.max_text_length = cfg.max_length
         (self.basename, self.speaker, self.text,
          self.raw_text) = self._process_meta(filename)
+        # speaker name → integer id, from the preprocessor's speakers.json
+        # (single-speaker corpora map everything to 0)
+        self.speaker_map = self._load_speaker_map()
+        self.speaker_id = np.asarray(
+            [self.speaker_map.get(s, 0) for s in self.speaker], np.int32)
         # tokenize once (deterministic; avoids per-access regex work)
         self.phonemes: List[np.ndarray] = [
             np.asarray(text_to_sequence(t, self.cleaners), dtype=np.int32)
@@ -65,6 +70,22 @@ class LJSpeechDataset:
                 raw_texts.append(r)
         return names, speakers, texts, raw_texts
 
+    def _load_speaker_map(self):
+        import json
+
+        path = os.path.join(self.preprocessed_path, "speakers.json")
+        if os.path.isfile(path):
+            with open(path, encoding="utf-8") as f:
+                loaded = json.load(f)
+            # accept {"name": id} or {"name": [id, ...]} layouts
+            return {k: (v[0] if isinstance(v, (list, tuple)) else int(v))
+                    for k, v in loaded.items()}
+        return {}
+
+    @property
+    def n_speakers(self) -> int:
+        return max(1, len(self.speaker_map))
+
     def __len__(self):
         return len(self.text)
 
@@ -79,6 +100,7 @@ class LJSpeechDataset:
         item = {
             "phoneme": self.phonemes[idx],
             "text": self.raw_text[idx],
+            "speaker": self.speaker_id[idx],
             "pitch": self._np("pitch", idx).astype(np.float32),
             "energy": self._np("energy", idx).astype(np.float32),
             "duration": self._np("duration", idx).astype(np.int32),
@@ -166,6 +188,7 @@ class BucketedLoader:
         duration = np.zeros((b, n_pad), np.int32)
         mel = np.zeros((b, m_pad, samples[0]["mel"].shape[1]), np.float32)
         mel_mask = np.ones((b, m_pad), bool)
+        speaker = np.asarray([s["speaker"] for s in samples], np.int32)
         texts = []
         for i, s in enumerate(samples):
             n = min(len(s["phoneme"]), n_pad)
@@ -191,7 +214,8 @@ class BucketedLoader:
         return {
             "phoneme": phoneme, "phoneme_mask": phoneme_mask,
             "pitch": pitch, "energy": energy, "duration": duration,
-            "mel": mel, "mel_mask": mel_mask, "text": texts,
+            "mel": mel, "mel_mask": mel_mask, "speaker": speaker,
+            "text": texts,
         }
 
     def __iter__(self) -> Iterator[Dict]:

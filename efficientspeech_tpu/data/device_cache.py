@@ -41,6 +41,8 @@ def build_host_cache(dataset, max_phoneme_len: int, max_mel_len: int,
 
     cache = {
         "phoneme": np.zeros((s, n_pad), np.int32),
+        "speaker": np.asarray(getattr(dataset, "speaker_id",
+                                      np.zeros(s, np.int32))[:s], np.int32),
         "pitch": np.zeros((s, n_pad), np.float32),
         "energy": np.zeros((s, n_pad), np.float32),
         "duration": np.zeros((s, n_pad), np.int32),
@@ -116,6 +118,7 @@ def gather_batch(cache: Dict, idx) -> Dict:
     return {
         "phoneme": phoneme,
         "phoneme_mask": pos_n[None, :] >= plen[:, None],
+        "speaker": cache["speaker"][idx],
         "pitch": cache["pitch"][idx],
         "energy": cache["energy"][idx],
         "duration": cache["duration"][idx],
@@ -175,6 +178,7 @@ def make_cached_train_step(model, tx, mesh=None, donate: bool = True,
             pitch_target=batch["pitch"],
             energy_target=batch["energy"],
             duration_target=batch["duration"],
+            speaker=batch.get("speaker"),
             train=True)
         losses = compute_losses(pred, batch)
         return losses["loss"], losses
@@ -196,11 +200,8 @@ def make_cached_train_step(model, tx, mesh=None, donate: bool = True,
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
         st = state_sharding if state_sharding is not None else repl
-        cache_sh = {k: repl for k in ("phoneme", "pitch", "energy",
-                                      "duration", "mel", "phoneme_len",
-                                      "mel_len")}
         return jax.jit(step,
-                       in_shardings=(st, cache_sh, data),
+                       in_shardings=(st, repl, data),
                        out_shardings=(st, repl),
                        donate_argnums=(0,) if donate else ())
     return jax.jit(step, donate_argnums=(0,) if donate else ())

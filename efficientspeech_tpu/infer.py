@@ -146,12 +146,19 @@ class Synthesizer:
             flat, layout = self._packed_folded
             widths = meta["widths"]
 
+            # multi-speaker models take the speaker ids as a (tiny) extra
+            # argument; single-speaker programs keep the 2-arg signature
+            # (stable signature ⇒ stable compile cache)
+            multi_speaker = self.cfg.n_speakers > 1
+
             @jax.jit
-            def fused(flat_w, phoneme):
+            def fused(flat_w, phoneme, speaker=None):
                 pad_mask = phoneme == PAD_ID
                 arrs = unpack_folded(flat_w, layout, widths)
                 pred = model.apply({"params": acoustic_params}, phoneme,
-                                   pad_mask, train=False)
+                                   pad_mask,
+                                   speaker=speaker if multi_speaker else None,
+                                   train=False)
                 mel_len = jnp.minimum(pred["mel_len"],
                                       pred["mel"].shape[1])
                 # the pallas fused kernel is single-utterance only and only
@@ -193,8 +200,13 @@ class Synthesizer:
                     rows = tuple(pcm[i] for i in range(pcm.shape[0]))
                 return rows, pred["mel_len"], pred["duration"]
 
-            def call(phoneme):
-                return fused(self._packed_folded[0], phoneme)
+            def call(phoneme, speaker=None):
+                if not multi_speaker:
+                    return fused(self._packed_folded[0], phoneme)
+                if speaker is None:
+                    speaker = np.zeros((phoneme.shape[0],), np.int32)
+                return fused(self._packed_folded[0], phoneme,
+                             np.asarray(speaker, np.int32))
 
             self._jitted[key] = fn = call
         return fn
@@ -386,7 +398,8 @@ class Synthesizer:
     SPECULATIVE_EXPANSION = 9
 
     # --- synthesis ---------------------------------------------------------
-    def synthesize_ids(self, seq: np.ndarray):
+    def synthesize_ids(self, seq: np.ndarray,
+                       speaker: Optional[int] = None):
         """phoneme IDs → (wav f32 np.ndarray trimmed, mel_len, duration).
 
         Speculative pipeline: the vocoder is dispatched for a frame count
@@ -401,8 +414,9 @@ class Synthesizer:
         if self.fused_pipeline and self.vocoder_mode != "chunked":
             n_valid = int(min(len(seq), bucket))
             spec = self._spec_frames(n_valid, bucket)
+            spk = None if speaker is None else np.asarray([speaker])
             fused = self._get_fused(bucket, spec)
-            pcm, mel_len_arr, duration = fused(phoneme)
+            pcm, mel_len_arr, duration = fused(phoneme, speaker=spk)
             buf, mel_len = self._fetch_single_pcm(pcm, mel_len_arr,
                                                   n_valid, spec)
             self._observe_ratio(mel_len, n_valid)
@@ -412,7 +426,7 @@ class Synthesizer:
                     spec = self._spec_frames(n_valid, bucket,
                                              min_frames=min(mel_len, full))
                     fused = self._get_fused(bucket, spec)
-                    pcm, mel_len_arr, duration = fused(phoneme)
+                    pcm, mel_len_arr, duration = fused(phoneme, speaker=spk)
                     buf, mel_len = self._fetch_single_pcm(
                         pcm, mel_len_arr, n_valid, spec)
                 mel_len = min(mel_len, full)
@@ -455,13 +469,14 @@ class Synthesizer:
         # duration stays on device; fetching it would cost a round trip
         return wav, mel_len, duration
 
-    def tts(self, text: str, verbose: bool = False):
+    def tts(self, text: str, verbose: bool = False,
+            speaker: Optional[int] = None):
         """Full text→wav; returns (wav, info dict with stage timings + RTF)
         (reference timing style: demo.py:65-83, synthesize.py:69-92)."""
         t0 = time.time()
         seq = self.phonemize(text)
         t1 = time.time()
-        wav, mel_len, duration = self.tts_ids_timed(seq)
+        wav, mel_len, duration = self.tts_ids_timed(seq, speaker=speaker)
         t2 = time.time()
         voice_len = len(wav) / self.sampling_rate
         elapsed = t2 - t0
@@ -520,17 +535,18 @@ class Synthesizer:
                         "mel_len": mel_len, "phonemes": len(seg),
                         "secs": time.time() - t0}
 
-    def tts_ids_timed(self, seq: np.ndarray):
+    def tts_ids_timed(self, seq: np.ndarray,
+                      speaker: Optional[int] = None):
         """Synthesize a phoneme sequence of any length (segments beyond the
         largest bucket, concatenates the waveforms)."""
         segments = self._segment(seq)
         if len(segments) == 1:
-            return self.synthesize_ids(segments[0])
+            return self.synthesize_ids(segments[0], speaker=speaker)
 
         wavs, total_mel = [], 0
         duration = None
         for seg in segments:
-            w, m, duration = self.synthesize_ids(seg)
+            w, m, duration = self.synthesize_ids(seg, speaker=speaker)
             wavs.append(w)
             total_mel += m
         return np.concatenate(wavs), total_mel, duration
@@ -692,7 +708,8 @@ def build_synthesizer(preset: str = "tiny",
                       seed: int = 0,
                       bench_duration_bias: Optional[float] = None,
                       transfer: str = "int16",
-                      vocoder_mode: str = "folded") -> Synthesizer:
+                      vocoder_mode: str = "folded",
+                      model_overrides: Optional[dict] = None) -> Synthesizer:
     """Build a Synthesizer from a reference torch checkpoint (converted) or
     random init (+ the bundled HiFi-GAN weights when available).
 
@@ -701,13 +718,11 @@ def build_synthesizer(preset: str = "tiny",
     """
     import os
 
+    overrides = dict(model_overrides or {})
     if stats is not None:
-        pitch_stats = tuple(stats["pitch"][:2])
-        energy_stats = tuple(stats["energy"][:2])
-        cfg = ModelConfig.preset(preset, pitch_stats=pitch_stats,
-                                 energy_stats=energy_stats)
-    else:
-        cfg = ModelConfig.preset(preset)
+        overrides.setdefault("pitch_stats", tuple(stats["pitch"][:2]))
+        overrides.setdefault("energy_stats", tuple(stats["energy"][:2]))
+    cfg = ModelConfig.preset(preset, **overrides)
 
     if hifigan_config is None:
         hifigan_config = os.path.join(os.path.dirname(hifigan_checkpoint),

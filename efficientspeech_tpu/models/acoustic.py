@@ -308,6 +308,7 @@ class PhonemeEncoder(nn.Module):
                  pitch_target: Optional[jnp.ndarray] = None,
                  energy_target: Optional[jnp.ndarray] = None,
                  duration_target: Optional[jnp.ndarray] = None,
+                 speaker: Optional[jnp.ndarray] = None,
                  train: bool = False):
         cfg = self.cfg
         dim = cfg.filter_dim
@@ -318,6 +319,21 @@ class PhonemeEncoder(nn.Module):
                                       phoneme, pad_mask)
         mask0 = masks[0]                         # (B, N) True = pad
         fused = Fuse(cfg, dtype=self.dtype, name="fuse")(features, masks)
+
+        # multi-speaker hook (beyond the single-speaker reference,
+        # FastSpeech2-style): a learned per-speaker vector added to the
+        # fused features conditions pitch/energy/duration and the decoder.
+        # n_speakers == 1 creates no parameters (checkpoint parity).
+        if cfg.n_speakers > 1:
+            spk = speaker if speaker is not None else jnp.zeros(
+                (phoneme.shape[0],), jnp.int32)
+            # plain table (NOT modules.Embedding, whose padding_idx=0
+            # semantics would zero speaker 0)
+            table = self.param("speaker_embedding",
+                               nn.initializers.normal(stddev=0.5),
+                               (cfg.n_speakers, dim))
+            spk_feat = jnp.take(table, spk, axis=0).astype(self.dtype)
+            fused = masked_fill(fused + spk_feat[:, None, :], mask0)
 
         pitch_pred, _ = AcousticDecoder(dim, mask_hidden=native,
                                         dtype=self.dtype,

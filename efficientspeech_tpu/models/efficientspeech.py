@@ -38,12 +38,14 @@ class EfficientSpeech(nn.Module):
                  pitch_target: Optional[jnp.ndarray] = None,
                  energy_target: Optional[jnp.ndarray] = None,
                  duration_target: Optional[jnp.ndarray] = None,
+                 speaker: Optional[jnp.ndarray] = None,
                  train: bool = True):
         """Training forward: returns the prediction dict incl. mel."""
         return self.phoneme2mel(phoneme, pad_mask,
                                 pitch_target=pitch_target,
                                 energy_target=energy_target,
                                 duration_target=duration_target,
+                                speaker=speaker,
                                 train=train)
 
     def predict(self, phoneme, pad_mask):

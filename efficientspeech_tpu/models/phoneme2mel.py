@@ -22,6 +22,7 @@ class Phoneme2Mel(nn.Module):
                  pitch_target: Optional[jnp.ndarray] = None,
                  energy_target: Optional[jnp.ndarray] = None,
                  duration_target: Optional[jnp.ndarray] = None,
+                 speaker: Optional[jnp.ndarray] = None,
                  train: bool = False):
         pred = PhonemeEncoder(self.cfg,
                               ref_pad_semantics=self.ref_pad_semantics,
@@ -30,6 +31,7 @@ class Phoneme2Mel(nn.Module):
             pitch_target=pitch_target,
             energy_target=energy_target,
             duration_target=duration_target,
+            speaker=speaker,
             train=train)
         mel = MelDecoder(self.cfg, ref_pad_semantics=self.ref_pad_semantics,
                          dtype=self.dtype, name="decoder")(

@@ -75,11 +75,19 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(
             data_parallel=train_cfg.num_data_axis)
 
-        self.model = Phoneme2Mel(model_cfg, dtype=dtype)
-        self.logger = MetricLogger(train_cfg.log_dir)
-
         self.train_ds = LJSpeechDataset("train.txt", preprocess_cfg)
         self.val_ds = LJSpeechDataset("val.txt", preprocess_cfg)
+        # multi-speaker corpora (speakers.json with >1 entries) get a
+        # speaker-embedding model automatically unless the config already
+        # reserves capacity
+        if self.train_ds.n_speakers > model_cfg.n_speakers:
+            import dataclasses
+
+            model_cfg = dataclasses.replace(
+                model_cfg, n_speakers=self.train_ds.n_speakers)
+            self.model_cfg = model_cfg
+        self.model = Phoneme2Mel(model_cfg, dtype=dtype)
+        self.logger = MetricLogger(train_cfg.log_dir)
         self.train_loader = BucketedLoader(
             self.train_ds, train_cfg.batch_size, shuffle=True,
             seed=train_cfg.seed,

@@ -34,6 +34,7 @@ def make_train_step(model: Phoneme2Mel, tx, mesh=None, donate: bool = True,
             pitch_target=batch["pitch"],
             energy_target=batch["energy"],
             duration_target=batch["duration"],
+            speaker=batch.get("speaker"),
             train=True)
         losses = compute_losses(pred, batch)
         return losses["loss"], losses
@@ -69,6 +70,7 @@ def make_eval_step(model: Phoneme2Mel, mesh=None):
             pitch_target=batch["pitch"],
             energy_target=batch["energy"],
             duration_target=batch["duration"],
+            speaker=batch.get("speaker"),
             train=True)
         return compute_losses(pred, batch)
 

@@ -30,6 +30,7 @@ def _host_batch_from_cache(host, idx):
     return {
         "phoneme": host["phoneme"][idx],
         "phoneme_mask": np.arange(n_pad)[None, :] >= plen[:, None],
+        "speaker": host["speaker"][idx],
         "pitch": host["pitch"][idx],
         "energy": host["energy"][idx],
         "duration": host["duration"][idx],
@@ -52,7 +53,7 @@ def test_cache_rows_match_loader_assembly(preprocessed_corpus):
     for i in range(len(ds)):
         ref = loader._assemble(np.array([i]))
         got = _host_batch_from_cache(host, np.array([i]))
-        for k in ("phoneme", "phoneme_mask", "pitch", "energy",
+        for k in ("phoneme", "phoneme_mask", "speaker", "pitch", "energy",
                   "duration", "mel", "mel_mask"):
             np.testing.assert_array_equal(got[k], ref[k], err_msg=f"{k}[{i}]")
 

@@ -1,0 +1,109 @@
+"""Multi-speaker hooks (beyond the single-speaker reference): a learned
+speaker embedding conditions the fused features when n_speakers > 1; the
+n_speakers == 1 default creates no parameters (checkpoint parity)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from efficientspeech_tpu.config import ModelConfig
+from efficientspeech_tpu.models.phoneme2mel import Phoneme2Mel
+
+N = 32
+
+
+def _init(cfg):
+    model = Phoneme2Mel(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, N), jnp.int32),
+                        jnp.ones((1, N), bool), train=False)["params"]
+    return model, params
+
+
+def _leaf_names(params):
+    return {"/".join(str(k.key) for k in path)
+            for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
+
+
+def test_single_speaker_has_no_embedding_params():
+    cfg = ModelConfig.preset("tiny", max_phoneme_len=N, max_mel_len=128)
+    _, params = _init(cfg)
+    assert not any("speaker_embedding" in n for n in _leaf_names(params))
+
+
+def test_speakers_change_output_and_default_is_speaker_zero():
+    cfg = ModelConfig.preset("tiny", max_phoneme_len=N, max_mel_len=128,
+                             n_speakers=4)
+    model, params = _init(cfg)
+    assert any("speaker_embedding" in n for n in _leaf_names(params))
+
+    rng = np.random.default_rng(0)
+    phoneme = np.zeros((1, N), np.int32)
+    phoneme[0, :12] = rng.integers(1, 152, size=12)
+    mask = np.ones((1, N), bool)
+    mask[0, :12] = False
+
+    # teacher-forced durations (random init predicts ~0 frames free-running)
+    dur = np.zeros((1, N), np.int32)
+    dur[0, :12] = 4
+    scalar = np.zeros((1, N), np.float32)
+
+    def run(speaker):
+        return model.apply({"params": params}, jnp.asarray(phoneme),
+                           jnp.asarray(mask),
+                           pitch_target=jnp.asarray(scalar),
+                           energy_target=jnp.asarray(scalar),
+                           duration_target=jnp.asarray(dur),
+                           speaker=None if speaker is None
+                           else jnp.asarray([speaker], jnp.int32),
+                           train=True)
+
+    m0 = np.asarray(run(0)["mel"])
+    m1 = np.asarray(run(1)["mel"])
+    m_none = np.asarray(run(None)["mel"])
+    assert not np.allclose(m0, m1)  # speakers differ
+    np.testing.assert_array_equal(m0, m_none)  # None == speaker 0
+
+
+def test_synthesizer_speaker_arg():
+    from efficientspeech_tpu.infer import build_synthesizer
+
+    s = build_synthesizer(preset="tiny", hifigan_checkpoint="",
+                          dtype=jnp.float32, bench_duration_bias=4.0,
+                          model_overrides={"n_speakers": 3})
+    s.phoneme_buckets = (16, 32)
+    s.mel_expansion = 6
+    w0, _ = s.tts("hello world", speaker=0)
+    w2, _ = s.tts("hello world", speaker=2)
+    wd, _ = s.tts("hello world")
+    assert not np.array_equal(w0, w2)
+    np.testing.assert_array_equal(w0, wd)
+
+
+def test_batch_carries_speaker_ids(preprocessed_corpus=None):
+    """The loader/device-cache batch schema includes per-sample speaker ids
+    (0 for single-speaker corpora)."""
+    pytest.importorskip("scipy")
+    from conftest import mini_corpus, preprocessed_corpus as _pc  # noqa
+    # use the shared fixture machinery via a direct call is awkward; just
+    # assert the mapping logic on a synthetic speakers.json
+    import json
+    import os
+    import tempfile
+
+    from efficientspeech_tpu.config import PreprocessConfig
+    from efficientspeech_tpu.data.dataset import LJSpeechDataset
+
+    with tempfile.TemporaryDirectory() as d:
+        os.makedirs(os.path.join(d, "mel"), exist_ok=True)
+        with open(os.path.join(d, "speakers.json"), "w") as f:
+            json.dump({"spk_a": 0, "spk_b": 1}, f)
+        with open(os.path.join(d, "train.txt"), "w") as f:
+            f.write("u1|spk_b|{HH AH0}|hello\n")
+            f.write("u2|spk_a|{HH AH0}|hello\n")
+        cfg = PreprocessConfig(preprocessed_path=d, lexicon_path="/nonexistent")
+        ds = LJSpeechDataset("train.txt", cfg)
+        assert ds.n_speakers == 2
+        np.testing.assert_array_equal(ds.speaker_id, [1, 0])
