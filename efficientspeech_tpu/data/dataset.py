@@ -188,7 +188,8 @@ class BucketedLoader:
         duration = np.zeros((b, n_pad), np.int32)
         mel = np.zeros((b, m_pad, samples[0]["mel"].shape[1]), np.float32)
         mel_mask = np.ones((b, m_pad), bool)
-        speaker = np.asarray([s["speaker"] for s in samples], np.int32)
+        speaker = np.asarray([s.get("speaker", 0) for s in samples],
+                             np.int32)
         texts = []
         for i, s in enumerate(samples):
             n = min(len(s["phoneme"]), n_pad)

@@ -252,12 +252,32 @@ class Trainer:
     # --- main loop ----------------------------------------------------------
     def fit(self, max_epochs: Optional[int] = None,
             checkpoint_every_epochs: int = 10,
-            max_steps: Optional[int] = None):
+            max_steps: Optional[int] = None,
+            handle_signals: bool = True):
+        """handle_signals: SIGTERM/SIGINT request a graceful stop — finish
+        the current epoch's dispatched steps, checkpoint, and return (TPU
+        pods are preemptible; the reference's Lightning run dies mid-epoch
+        and restarts from the last periodic checkpoint).  Resume picks up
+        from the saved step as usual."""
         max_epochs = max_epochs or self.train_cfg.max_epochs
         start_step = self.maybe_resume()
         start_epoch = start_step // self.steps_per_epoch
         t0 = time.time()
         step = start_step
+
+        stop_requested = {"flag": False}
+        old_handlers = {}
+        if handle_signals:
+            import signal
+            import threading
+
+            def _request_stop(signum, _frame):
+                stop_requested["flag"] = True
+                print(f"signal {signum}: finishing epoch, checkpointing...")
+
+            if threading.current_thread() is threading.main_thread():
+                for sig in (signal.SIGTERM, signal.SIGINT):
+                    old_handlers[sig] = signal.signal(sig, _request_stop)
 
         for epoch in range(start_epoch, max_epochs):
             # accumulate metric sums ON DEVICE; one fetch per epoch — a
@@ -279,6 +299,8 @@ class Trainer:
                         jnp.add, acc, metrics)
                     if max_steps is not None and step >= max_steps:
                         break
+                    if stop_requested["flag"]:
+                        break
             else:
                 self.train_loader.epoch = epoch  # deterministic resume order
                 for batch in self.train_loader:
@@ -291,6 +313,8 @@ class Trainer:
                     acc = metrics if acc is None else jax.tree.map(
                         jnp.add, acc, metrics)
                     if max_steps is not None and step >= max_steps:
+                        break
+                    if stop_requested["flag"]:
                         break
 
             sums = {k: float(v)
@@ -315,6 +339,13 @@ class Trainer:
                     print(f"validation audio dump failed: {e}")
             if max_steps is not None and step >= max_steps:
                 break
+            if stop_requested["flag"]:
+                break
 
         save_checkpoint(self.train_cfg.checkpoint_dir, self.state, step=step)
+        if old_handlers:
+            import signal
+
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
         return step

@@ -133,3 +133,32 @@ def test_index_page_served(synth):
         assert r.headers["Content-Type"].startswith("text/html")
     finally:
         server.shutdown()
+
+
+def test_dynamic_batching_groups_concurrent_requests(synth):
+    """Concurrent /tts requests within the window synthesize as ONE batched
+    dispatch (X-Batch-Size > 1) and every caller gets a valid WAV."""
+    import concurrent.futures
+
+    from serve import make_handler
+
+    server, port = _start(make_handler(synth, dynamic_batch=True,
+                                       batch_window_ms=150.0))
+    try:
+        # warm the batched program so the timed window isn't compile-bound
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/tts?text=warm+up+line", timeout=600)
+
+        def fetch(i):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/tts?text=hello+number+{i}",
+                    timeout=600) as r:
+                return r.read(), int(r.headers.get("X-Batch-Size", "1"))
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+            results = list(ex.map(fetch, range(4)))
+        assert all(d[:4] == b"RIFF" for d, _ in results)
+        assert max(b for _, b in results) > 1, \
+            [b for _, b in results]
+    finally:
+        server.shutdown()

@@ -96,3 +96,41 @@ def test_val_pass_single_compiled_shape(preprocessed_corpus, tmp_path):
     assert mel.shape == (1, 256, 80)
     assert pred._cache_size() == 1
     assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_sigterm_checkpoints_and_returns(preprocessed_corpus, tmp_path):
+    """Preemption safety: SIGTERM mid-run finishes the epoch, saves a
+    checkpoint, and fit() returns instead of dying (TPU pods are
+    preemptible; the reference dies mid-epoch)."""
+    import os
+    import signal
+    import threading
+
+    import jax.numpy as jnp
+
+    from efficientspeech_tpu.config import ModelConfig, TrainConfig
+    from efficientspeech_tpu.training.checkpoint import latest_checkpoint
+    from efficientspeech_tpu.training.loop import Trainer
+
+    stats = json.load(open(os.path.join(
+        preprocessed_corpus.preprocessed_path, "stats.json")))
+    model_cfg = ModelConfig.preset(
+        "tiny", pitch_stats=tuple(stats["pitch"][:2]),
+        energy_stats=tuple(stats["energy"][:2]),
+        max_phoneme_len=32, max_mel_len=256)
+    train_cfg = TrainConfig(
+        batch_size=2, max_epochs=10_000, warmup_epochs=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+        wav_path=str(tmp_path / "wavs"))
+    trainer = Trainer(model_cfg, train_cfg, preprocessed_corpus,
+                      dtype=jnp.float32)
+
+    timer = threading.Timer(5.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        final_step = trainer.fit()  # would run 10k epochs without the signal
+    finally:
+        timer.cancel()
+    assert final_step >= 1
+    assert latest_checkpoint(train_cfg.checkpoint_dir) is not None
