@@ -61,7 +61,7 @@ def main():
                              "level measurement; end-to-end runs are "
                              "dominated by +-40%% relay load variance)")
     parser.add_argument("--transfer", default="mulaw",
-                        choices=["f32", "int16", "mulaw"],
+                        choices=["f32", "int16", "mulaw", "adpcm4"],
                         help="device→host PCM wire format.  mulaw (8-bit "
                              "telephony-grade) is the serving default here "
                              "because the tunneled device→host transfer "

@@ -63,7 +63,7 @@ def main():
         buf, mel_len = synth._fetch_single_pcm(pcm, mel_len_arr,
                                                n_valid, spec)
         t2 = time.time()
-        wav = decode_host(buf[: mel_len * up], args.transfer)
+        wav = decode_host(buf, args.transfer)[: mel_len * up]
         t3 = time.time()
         rows["enqueue"].append(t1 - t0)
         rows["fetch"].append(t2 - t1)

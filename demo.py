@@ -34,7 +34,7 @@ def get_args():
     parser.add_argument("--warmup", type=int, default=10)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--transfer", default="int16",
-                        choices=["f32", "int16", "mulaw"],
+                        choices=["f32", "int16", "mulaw", "adpcm4"],
                         help="device→host PCM wire format")
     parser.add_argument("--vocoder", default="folded",
                         choices=["folded", "folded_pallas", "chunked"])

@@ -29,7 +29,11 @@ MULAW_DECODE_LUT = (np.sign(_dec_y)
 
 
 def encode_device(wav, fmt: str):
-    """Encode a float waveform (values in [-1, 1]) inside a jitted program."""
+    """Encode a float waveform (values in [-1, 1]) inside a jitted program.
+
+    adpcm4 requires the sample count to be a multiple of its 1024 block
+    (all serving buffer sizes are; see infer.py's frame-level granularity).
+    """
     if fmt == "f32":
         return wav.astype(jnp.float32)
     if fmt == "int16":
@@ -40,11 +44,19 @@ def encode_device(wav, fmt: str):
         y = (jnp.sign(x) * jnp.log1p(MULAW_MU * jnp.abs(x))
              / np.log1p(MULAW_MU))
         return jnp.round((y + 1.0) * 127.5).astype(jnp.uint8)
+    if fmt == "adpcm4":
+        from efficientspeech_tpu.audio.adpcm import encode_blocks_device
+
+        return encode_blocks_device(wav)
     raise ValueError(f"unknown transfer format {fmt!r}")
 
 
 def decode_host(arr: np.ndarray, fmt: str) -> np.ndarray:
-    """Decode a fetched wire buffer back to float32 on the host."""
+    """Decode a fetched wire buffer back to float32 on the host.
+
+    The returned sample count can exceed the valid region (adpcm4 decodes
+    whole blocks) — callers trim to mel_len × upsample afterwards.
+    """
     arr = np.asarray(arr)
     if fmt == "f32":
         return arr.astype(np.float32, copy=False)
@@ -52,8 +64,30 @@ def decode_host(arr: np.ndarray, fmt: str) -> np.ndarray:
         return arr.astype(np.float32) / 32768.0
     if fmt == "mulaw":
         return MULAW_DECODE_LUT[arr]
+    if fmt == "adpcm4":
+        from efficientspeech_tpu.audio.adpcm import decode_blocks_host
+
+        return decode_blocks_host(arr)
     raise ValueError(f"unknown transfer format {fmt!r}")
 
 
-def bytes_per_sample(fmt: str) -> int:
-    return {"f32": 4, "int16": 2, "mulaw": 1}[fmt]
+def bytes_per_sample(fmt: str) -> float:
+    return {"f32": 4, "int16": 2, "mulaw": 1, "adpcm4": 0.504}[fmt]
+
+
+def elements_for_samples(fmt: str, n_samples: int) -> int:
+    """Length of the wire array that carries n_samples (for slicing device
+    outputs at chunk boundaries; sample-addressable formats are 1:1)."""
+    if fmt == "adpcm4":
+        from efficientspeech_tpu.audio import adpcm
+
+        return adpcm.elements_for_samples(n_samples)
+    return n_samples
+
+
+def samples_for_elements(fmt: str, n_elements: int) -> int:
+    if fmt == "adpcm4":
+        from efficientspeech_tpu.audio import adpcm
+
+        return adpcm.samples_for_elements(n_elements)
+    return n_elements

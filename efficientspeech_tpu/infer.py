@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from efficientspeech_tpu.audio.transfer import decode_host, encode_device
+from efficientspeech_tpu.audio.transfer import (
+    decode_host,
+    elements_for_samples,
+    encode_device,
+    samples_for_elements,
+)
 from efficientspeech_tpu.config import (
     HifiGanConfig,
     ModelConfig,
@@ -191,10 +196,12 @@ class Synthesizer:
                 if (phoneme.shape[0] == 1
                         and out_frames % fetch_chunk == 0
                         and out_frames > fetch_chunk):
-                    samples = fetch_chunk * cfg.total_upsample
+                    # wire elements per chunk (≠ samples for block codecs)
+                    elems = elements_for_samples(
+                        fmt, fetch_chunk * cfg.total_upsample)
                     row = pcm[0]
                     rows = tuple(
-                        row[i * samples:(i + 1) * samples]
+                        row[i * elems:(i + 1) * elems]
                         for i in range(out_frames // fetch_chunk))
                 else:
                     rows = tuple(pcm[i] for i in range(pcm.shape[0]))
@@ -430,9 +437,9 @@ class Synthesizer:
                     buf, mel_len = self._fetch_single_pcm(
                         pcm, mel_len_arr, n_valid, spec)
                 mel_len = min(mel_len, full)
-            wav = decode_host(
-                buf[: mel_len * self.hifigan_cfg.total_upsample],
-                self.transfer)
+            # decode whole wire blocks, then trim to the valid samples
+            wav = decode_host(buf, self.transfer)[
+                : mel_len * self.hifigan_cfg.total_upsample]
             return wav, mel_len, duration
 
         n_valid = int(min(len(seq), self.phoneme_buckets[-1]))
@@ -605,16 +612,16 @@ class Synthesizer:
             fused = self._get_fused(bucket, spec)
             pcm, mel_len_arr, _ = fused(phoneme)
             pcm_np, mel_lens = fetch(pcm, mel_len_arr, spec)
-        mel_lens = np.minimum(mel_lens, pcm_np[0].shape[0]
-                              // self.hifigan_cfg.total_upsample)
+        mel_lens = np.minimum(
+            mel_lens, samples_for_elements(self.transfer, pcm_np[0].shape[0])
+            // self.hifigan_cfg.total_upsample)
         elapsed = time.time() - t0
 
         up = self.hifigan_cfg.total_upsample
         per_text_wavs = [[] for _ in texts]
         per_text_mel = [0] * len(texts)
         for i in range(b):
-            w = decode_host(pcm_np[i][: int(mel_lens[i]) * up],
-                            self.transfer)
+            w = decode_host(pcm_np[i], self.transfer)[: int(mel_lens[i]) * up]
             per_text_wavs[owner[i]].append(w)
             per_text_mel[owner[i]] += int(mel_lens[i])
         out = []

@@ -3,8 +3,9 @@
 # (tests never need the real chip; this also keeps them runnable while a
 # benchmark holds the TPU claim).
 cd "$(dirname "$0")/.."
-# build the native pitch library on demand (the .so is not checked in)
-if [ ! -f native/libespitch.so ] && command -v g++ >/dev/null; then
+# build the native libraries on demand (the .so files are not checked in)
+if { [ ! -f native/libespitch.so ] || [ ! -f native/libesadpcm.so ]; } \
+        && command -v g++ >/dev/null; then
     make -C native >/dev/null 2>&1 || true
 fi
 exec env PALLAS_AXON_POOL_IPS= PYTHONPATH= JAX_PLATFORMS=cpu \

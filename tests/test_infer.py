@@ -117,3 +117,25 @@ def test_chunked_partial_fetch_matches_unchunked():
     wb3, ib3 = b.tts(text)
     assert ib3["mel_len"] == ia["mel_len"]
     np.testing.assert_array_equal(wa, wb3)
+
+
+def test_adpcm4_transfer_end_to_end():
+    """Full synthesis over the 4-bit ADPCM wire: same length as the exact
+    int16 wire and telephony-grade SNR against it."""
+    kw = dict(preset="tiny", hifigan_checkpoint="", dtype=jnp.float32,
+              bench_duration_bias=4.0)
+    exact = build_synthesizer(transfer="int16", **kw)
+    compact = build_synthesizer(transfer="adpcm4", **kw)
+    for s in (exact, compact):
+        s.phoneme_buckets = (16, 32)
+        s.mel_expansion = 8
+    text = "the quick brown fox jumps over the lazy dog"
+    wx, ix = exact.tts(text)
+    wa, ia = compact.tts(text)
+    assert ix["mel_len"] == ia["mel_len"]
+    assert len(wx) == len(wa)
+    # random-init audio is near-silence (rms ~2e-4), where ADPCM's absolute
+    # step floor dominates relative SNR — bound the absolute noise floor
+    # here; full-scale speech SNR (>26 dB) is covered in test_transfer.py
+    rms_err = float(np.sqrt(((wx - wa) ** 2).mean()))
+    assert rms_err < 2e-4, rms_err

@@ -165,3 +165,68 @@ def test_adaptive_speculation_shrinks_buffers(synth):
     wav2, info2 = synth.tts(text)
     assert info2["mel_len"] == info["mel_len"]
     assert len(wav2) == len(wav)
+
+
+def _speechlike(n, seed=0):
+    """Amplitude-modulated harmonic stack + breath noise, speech-shaped."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 22050.0
+    f0 = 140 + 40 * np.sin(2 * np.pi * 2.1 * t)
+    phase = np.cumsum(2 * np.pi * f0 / 22050.0)
+    x = (0.5 * np.sin(phase) + 0.25 * np.sin(2 * phase)
+         + 0.12 * np.sin(3 * phase))
+    env = 0.3 + 0.7 * (0.5 + 0.5 * np.sin(2 * np.pi * 3.7 * t)) ** 2
+    x = x * env + 0.01 * rng.normal(size=n)
+    return (0.8 * x / np.abs(x).max()).astype(np.float32)
+
+
+def test_adpcm4_roundtrip_snr():
+    import jax
+
+    from efficientspeech_tpu.audio.adpcm import BLOCK
+    from efficientspeech_tpu.audio.transfer import (
+        elements_for_samples, samples_for_elements)
+
+    n = 16 * BLOCK
+    x = _speechlike(n)
+    wire = np.asarray(jax.jit(
+        lambda w: encode_device(w, "adpcm4"))(jnp.asarray(x[None])))
+    assert wire.shape == (1, elements_for_samples("adpcm4", n))
+    assert samples_for_elements("adpcm4", wire.shape[1]) == n
+    y = decode_host(wire[0], "adpcm4")
+    assert y.shape == (n,)
+    snr = 10 * np.log10((x ** 2).mean() / ((x - y) ** 2).mean())
+    assert snr > 26.0, snr  # telephony-grade (mulaw measures ~33 dB here)
+
+
+def test_adpcm4_c_decoder_matches_numpy():
+    import jax
+
+    from efficientspeech_tpu.audio import adpcm
+
+    n = 8 * adpcm.BLOCK
+    x = _speechlike(n, seed=3)
+    wire = np.asarray(jax.jit(
+        lambda w: encode_device(w, "adpcm4"))(jnp.asarray(x[None])))[0]
+    ref = adpcm._decode_numpy(np.asarray(wire), n // adpcm.BLOCK)
+    if adpcm._load_lib() is None:
+        pytest.skip("libesadpcm.so not built")
+    got = adpcm.decode_blocks_host(wire)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_adpcm4_blocks_decode_independently():
+    """A fetched PREFIX of the wire stream decodes to the prefix of the
+    full decode — the property the chunked partial fetch relies on."""
+    import jax
+
+    from efficientspeech_tpu.audio import adpcm
+
+    n = 8 * adpcm.BLOCK
+    x = _speechlike(n, seed=5)
+    wire = np.asarray(jax.jit(
+        lambda w: encode_device(w, "adpcm4"))(jnp.asarray(x[None])))[0]
+    full = decode_host(wire, "adpcm4")
+    k = 3 * adpcm.BLOCK_BYTES
+    prefix = decode_host(wire[:k], "adpcm4")
+    np.testing.assert_array_equal(prefix, full[: 3 * adpcm.BLOCK])
