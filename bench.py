@@ -60,13 +60,14 @@ def main():
                              "at the 4096-frame serving shape (device-"
                              "level measurement; end-to-end runs are "
                              "dominated by +-40%% relay load variance)")
-    parser.add_argument("--transfer", default="mulaw",
+    parser.add_argument("--transfer", default="adpcm4",
                         choices=["f32", "int16", "mulaw", "adpcm4"],
-                        help="device→host PCM wire format.  mulaw (8-bit "
-                             "telephony-grade) is the serving default here "
-                             "because the tunneled device→host transfer "
-                             "dominates latency; use int16 for bit-exact "
-                             "WAV output")
+                        help="device→host PCM wire format.  adpcm4 (4-bit "
+                             "block-ADPCM, SNR >26 dB on speech — "
+                             "telephony-grade) is the default because the "
+                             "tunneled device→host transfer dominates "
+                             "latency; mulaw (8-bit, SNR >30 dB) and int16 "
+                             "(bit-exact WAV) trade latency for fidelity")
     parser.add_argument("--profile", default=None,
                         help="write a jax.profiler trace to this directory")
     parser.add_argument("--verbose", action="store_true")
