@@ -33,6 +33,8 @@ def get_args():
                         help="benchmark iterations (reference: demo.py:149-167)")
     parser.add_argument("--warmup", type=int, default=10)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
+    parser.add_argument("--speaker", type=int, default=None,
+                        help="speaker id for multi-speaker checkpoints")
     parser.add_argument("--transfer", default="int16",
                         choices=["f32", "int16", "mulaw", "adpcm4"],
                         help="device→host PCM wire format")
@@ -100,7 +102,7 @@ def main():
     wav, info = None, None
     rtfs = []
     for _ in range(args.iter):
-        wav, info = synth.tts(args.text, verbose=args.verbose)
+        wav, info = synth.tts(args.text, speaker=args.speaker, verbose=args.verbose)
         rtfs.append(info["rtf"])
 
     print(f"voice length: {info['voice_secs']:.2f}s  "
