@@ -94,10 +94,9 @@ def upload_cache(host_cache: Dict[str, np.ndarray], mesh=None,
         rows_per = max(1, chunk_bytes // max(1, v.nbytes // v.shape[0]))
         parts = [put(v[i:i + rows_per])
                  for i in range(0, v.shape[0], rows_per)]
-        concat = jax.jit(lambda *ps: jnp.concatenate(ps, axis=0))
-        if sharding is not None:
-            concat = jax.jit(lambda *ps: jnp.concatenate(ps, axis=0),
-                             out_shardings=sharding)
+        concat = jax.jit(
+            lambda *ps: jnp.concatenate(ps, axis=0),
+            **({} if sharding is None else {"out_shardings": sharding}))
         out[k] = concat(*parts)
     return out
 
