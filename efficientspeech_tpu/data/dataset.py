@@ -84,7 +84,10 @@ class LJSpeechDataset:
 
     @property
     def n_speakers(self) -> int:
-        return max(1, len(self.speaker_map))
+        """Embedding-table size: max id + 1 (ids may be non-contiguous)."""
+        if not self.speaker_map:
+            return 1
+        return max(1, max(self.speaker_map.values()) + 1)
 
     def __len__(self):
         return len(self.text)

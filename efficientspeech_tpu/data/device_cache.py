@@ -148,9 +148,12 @@ class DeviceDataCache:
         if n_full == 0:
             drop_last = False  # corpus smaller than one batch: resample
         if not drop_last and len(order) % batch_size:
-            # pad the tail batch by resampling (training-only semantics)
+            # pad the tail batch by resampling (training-only semantics);
+            # tile when the corpus is smaller than even one batch
             pad = batch_size - len(order) % batch_size
-            order = np.concatenate([order, order[:pad]])
+            reps = -(-pad // len(order))
+            order = np.concatenate([order] + [order] * reps)[
+                : (n_full + 1) * batch_size]
             n_full = len(order) // batch_size
         return order[: n_full * batch_size].reshape(n_full, batch_size)
 

@@ -193,9 +193,8 @@ class Synthesizer:
                 # actual mel length — the speculative buffer's silent tail
                 # never crosses the link.
                 fetch_chunk = self.fetch_chunk_frames
-                if (phoneme.shape[0] == 1
-                        and out_frames % fetch_chunk == 0
-                        and out_frames > fetch_chunk):
+                # trace-time value: the host mirrors this via _pcm_chunked
+                if self._pcm_chunked(phoneme.shape[0], out_frames):
                     # wire elements per chunk (≠ samples for block codecs)
                     elems = elements_for_samples(
                         fmt, fetch_chunk * cfg.total_upsample)
@@ -219,8 +218,9 @@ class Synthesizer:
         return fn
 
     def _pcm_chunked(self, batch: int, out_frames: int) -> bool:
-        """Mirrors the trace-time condition in ``_get_fused``: single-
-        utterance programs return per-chunk PCM arrays."""
+        """Single source of truth for whether a fused program returns
+        per-chunk PCM arrays (used at trace time in ``_get_fused`` and by
+        the host-side fetch)."""
         chunk = self.fetch_chunk_frames
         return (batch == 1 and out_frames % chunk == 0
                 and out_frames > chunk)
@@ -314,14 +314,22 @@ class Synthesizer:
             # constants so per-call marshaling is just the phoneme IDs
             baked = jax.tree.map(jnp.asarray, self.params["phoneme2mel"])
 
+            multi_speaker = self.cfg.n_speakers > 1
+
             @jax.jit
-            def acoustic_impl(phoneme, pad_mask):
+            def acoustic_impl(phoneme, pad_mask, speaker=None):
                 pred = model.apply({"params": baked}, phoneme, pad_mask,
+                                   speaker=speaker if multi_speaker else None,
                                    train=False)
                 return pred["mel"], pred["mel_len"], pred["duration"]
 
-            def acoustic(_params, phoneme, pad_mask):
-                return acoustic_impl(phoneme, pad_mask)
+            def acoustic(_params, phoneme, pad_mask, speaker=None):
+                if not multi_speaker:
+                    return acoustic_impl(phoneme, pad_mask)
+                if speaker is None:
+                    speaker = np.zeros((phoneme.shape[0],), np.int32)
+                return acoustic_impl(phoneme, pad_mask,
+                                     np.asarray(speaker, np.int32))
 
             self._jitted[("acoustic", bucket)] = fn = acoustic
         return fn
@@ -437,15 +445,19 @@ class Synthesizer:
                     buf, mel_len = self._fetch_single_pcm(
                         pcm, mel_len_arr, n_valid, spec)
                 mel_len = min(mel_len, full)
-            # decode whole wire blocks, then trim to the valid samples
-            wav = decode_host(buf, self.transfer)[
-                : mel_len * self.hifigan_cfg.total_upsample]
+            # decode only the wire elements covering the valid samples
+            # (rounded up to whole blocks for block codecs), then trim
+            n = mel_len * self.hifigan_cfg.total_upsample
+            wav = decode_host(
+                buf[: elements_for_samples(self.transfer, n)],
+                self.transfer)[:n]
             return wav, mel_len, duration
 
         n_valid = int(min(len(seq), self.phoneme_buckets[-1]))
         acoustic = self._get_acoustic(bucket)
         mel, mel_len_arr, duration = acoustic(
-            self.params["phoneme2mel"], phoneme, pad_mask)
+            self.params["phoneme2mel"], phoneme, pad_mask,
+            speaker=None if speaker is None else np.asarray([speaker]))
 
         chunk = self.VOCODER_CHUNK
         spec_frames = n_valid * self.SPECULATIVE_EXPANSION
@@ -621,7 +633,10 @@ class Synthesizer:
         per_text_wavs = [[] for _ in texts]
         per_text_mel = [0] * len(texts)
         for i in range(b):
-            w = decode_host(pcm_np[i], self.transfer)[: int(mel_lens[i]) * up]
+            n = int(mel_lens[i]) * up
+            w = decode_host(
+                pcm_np[i][: elements_for_samples(self.transfer, n)],
+                self.transfer)[:n]
             per_text_wavs[owner[i]].append(w)
             per_text_mel[owner[i]] += int(mel_lens[i])
         out = []

@@ -290,32 +290,26 @@ class Trainer:
                 idx_mat = self.device_cache.epoch_batches(
                     self.train_cfg.batch_size, epoch,
                     seed=self.train_cfg.seed)
-                for row in idx_mat:
-                    self.state, metrics = self._cached_step(
-                        self.state, self.device_cache.arrays, row)
-                    step += 1
-                    count += 1
-                    acc = metrics if acc is None else jax.tree.map(
-                        jnp.add, acc, metrics)
-                    if max_steps is not None and step >= max_steps:
-                        break
-                    if stop_requested["flag"]:
-                        break
+                steps_iter = (
+                    (self._cached_step, (self.device_cache.arrays, row))
+                    for row in idx_mat)
             else:
                 self.train_loader.epoch = epoch  # deterministic resume order
-                for batch in self.train_loader:
-                    host_batch = {k: v for k, v in batch.items()
-                                  if k != "text"}
-                    sharded = shard_batch(host_batch, self.mesh)
-                    self.state, metrics = self.train_step(self.state, sharded)
-                    step += 1
-                    count += 1
-                    acc = metrics if acc is None else jax.tree.map(
-                        jnp.add, acc, metrics)
-                    if max_steps is not None and step >= max_steps:
-                        break
-                    if stop_requested["flag"]:
-                        break
+                steps_iter = (
+                    (self.train_step,
+                     (shard_batch({k: v for k, v in batch.items()
+                                   if k != "text"}, self.mesh),))
+                    for batch in self.train_loader)
+            for step_fn, step_args in steps_iter:
+                self.state, metrics = step_fn(self.state, *step_args)
+                step += 1
+                count += 1
+                acc = metrics if acc is None else jax.tree.map(
+                    jnp.add, acc, metrics)
+                if max_steps is not None and step >= max_steps:
+                    break
+                if stop_requested["flag"]:
+                    break
 
             sums = {k: float(v)
                     for k, v in jax.device_get(acc or {}).items()}

@@ -135,7 +135,11 @@ class DynamicBatcher:
     def _run(self):
         while True:
             self._wake.wait()
-            time.sleep(self.window)  # collection window
+            with self._mutex:
+                backlog = len(self._pending)
+            if backlog < self.max_batch:
+                time.sleep(self.window)  # collection window
+            # else: a full batch is already waiting — drain immediately
             with self._mutex:
                 group = self._pending[: self.max_batch]
                 self._pending = self._pending[self.max_batch:]
@@ -298,6 +302,16 @@ def main():
         bench_duration_bias=None if args.checkpoint else 6.0)
     print("warming up ...")
     synth.warmup(args.warmup_text, iters=2)
+    if args.dynamic_batch:
+        # compile every batched program shape up front: tts_batch pads the
+        # batch dim to a power of two, and a cold remote compile takes
+        # minutes on tunneled TPUs — the first concurrent request pair
+        # must not stall the service
+        b = 2
+        while b <= args.max_batch:
+            print(f"precompiling batch shape {b} ...")
+            synth.tts_batch([args.warmup_text] * b)
+            b *= 2
 
     handler = make_handler(
         synth, stream_segment_phonemes=args.stream_segment_phonemes,

@@ -166,6 +166,11 @@ def test_epoch_batches_cover_and_deterministic(preprocessed_corpus):
     # corpus smaller than one batch: resamples up to one full batch
     tiny = cache.epoch_batches(len(ds) + 3, epoch=0, seed=0)
     assert tiny.shape == (1, len(ds) + 3)
+    # corpus smaller than HALF a batch: the pad must tile, never come back
+    # empty (regression: zero-row index matrix -> silent zero-step epochs)
+    tiny2 = cache.epoch_batches(3 * len(ds) + 1, epoch=0, seed=0)
+    assert tiny2.shape == (1, 3 * len(ds) + 1)
+    assert set(tiny2.ravel()) <= set(range(len(ds)))
 
 
 def test_trainer_device_data_smoke(preprocessed_corpus, tmp_path):

@@ -81,6 +81,13 @@ def test_synthesizer_speaker_arg():
     assert not np.array_equal(w0, w2)
     np.testing.assert_array_equal(w0, wd)
 
+    # the split (non-fused) pipeline must honor the speaker too
+    # (regression: speaker silently dropped -> always voice 0)
+    s.fused_pipeline = False
+    v0, _ = s.tts("hello world", speaker=0)
+    v2, _ = s.tts("hello world", speaker=2)
+    assert not np.array_equal(v0, v2)
+
 
 def test_batch_carries_speaker_ids(preprocessed_corpus=None):
     """The loader/device-cache batch schema includes per-sample speaker ids
