@@ -158,6 +158,35 @@ class DeviceDataCache:
         return order[: n_full * batch_size].reshape(n_full, batch_size)
 
 
+def make_cached_eval_step(model, mesh=None):
+    """eval_step(params, cache, idx) -> loss dict; teacher-forced forward
+    over device-resident rows (the val-set counterpart of the cached train
+    step — a val pass uploads only indices)."""
+    from efficientspeech_tpu.training.losses import compute_losses
+
+    def step(params, cache, idx):
+        batch = gather_batch(cache, idx)
+        pred = model.apply(
+            {"params": params["phoneme2mel"]
+             if "phoneme2mel" in params else params},
+            batch["phoneme"], batch["phoneme_mask"],
+            pitch_target=batch["pitch"],
+            energy_target=batch["energy"],
+            duration_target=batch["duration"],
+            speaker=batch.get("speaker"),
+            train=True)
+        return compute_losses(pred, batch)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(step, in_shardings=(repl, repl, data),
+                       out_shardings=repl)
+    return jax.jit(step)
+
+
 def make_cached_train_step(model, tx, mesh=None, donate: bool = True,
                            state_sharding=None):
     """train_step(state, cache, idx) -> (state, metrics), one jitted program:

@@ -287,7 +287,8 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
                       valid_len: Optional[jnp.ndarray] = None,
                       dtype=jnp.bfloat16,
                       use_pallas: bool = False,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      pallas_tm: int = 256) -> jnp.ndarray:
     """Run the re-gridded folded generator.  ``arrays``/``meta`` from
     fold_hifigan_device.  Exactly equivalent to HifiGanGenerator with
     row-level (frame-aligned) masking."""
@@ -322,6 +323,7 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
                                 residual=None if residual is None
                                 else residual[0],
                                 pre_lrelu=pre_lrelu, lrelu_slope=slope,
+                                tm=pallas_tm,
                                 interpret=interpret)[None]
         else:
             src = inp

@@ -133,9 +133,14 @@ class Trainer:
         # full multi-MB batch per step — the measured bottleneck at scale)
         self.device_cache = None
         self._cached_step = None
+        self.val_device_cache = None
+        self._cached_eval = None
         if train_cfg.device_data:
             from efficientspeech_tpu.data.device_cache import (
-                DeviceDataCache, make_cached_train_step)
+                DeviceDataCache,
+                make_cached_eval_step,
+                make_cached_train_step,
+            )
 
             mel_dtype = jnp.bfloat16 if train_cfg.device_cache_bf16_mel \
                 else np.float32
@@ -144,8 +149,17 @@ class Trainer:
                 model_cfg.max_mel_len, mel_dtype=mel_dtype, mesh=self.mesh)
             self._cached_step = make_cached_train_step(
                 self.model, self.tx, mesh=self.mesh)
+            # val set too: a val pass then uploads only indices (val mel
+            # targets stay f32 — loss parity with the host-fed eval)
+            self.val_device_cache = DeviceDataCache(
+                self.val_ds, model_cfg.max_phoneme_len,
+                model_cfg.max_mel_len, mesh=self.mesh)
+            self._cached_eval = make_cached_eval_step(self.model,
+                                                      mesh=self.mesh)
             print(f"device data cache: {self.device_cache.num_samples} "
-                  f"samples, {self.device_cache.nbytes / 2**20:.0f} MB")
+                  f"train + {self.val_device_cache.num_samples} val "
+                  f"samples, "
+                  f"{(self.device_cache.nbytes + self.val_device_cache.nbytes) / 2**20:.0f} MB")
 
     def _init_params(self):
         b = self.train_cfg.batch_size
@@ -175,14 +189,39 @@ class Trainer:
         proportionally, not equally)."""
         sums: Dict[str, float] = {}
         count = 0
-        for batch in self.val_loader:
-            host = {k: v for k, v in batch.items() if k != "text"}
-            b = len(batch["text"])
-            metrics = self.eval_step(self.state.params,
-                                     shard_batch(host, self.mesh))
+
+        def add(metrics, b):
+            nonlocal count
             for k, v in jax.device_get(metrics).items():
                 sums[k] = sums.get(k, 0.0) + float(v) * b
             count += b
+
+        if self.val_device_cache is not None:
+            # device-resident val set: each eval batch uploads only indices
+            bs = self.train_cfg.batch_size
+            s = self.val_device_cache.num_samples
+            data_size = int(self.mesh.shape.get("data", 1))
+            order = np.arange(s, dtype=np.int32)
+            n_full = s // bs
+            for i in range(n_full):
+                add(self._cached_eval(self.state.params,
+                                      self.val_device_cache.arrays,
+                                      order[i * bs:(i + 1) * bs]), bs)
+            rem = s - n_full * bs
+            # remainder: one smaller-shape eval (skipped on a sharded mesh,
+            # mirroring the host path's drop_last)
+            if rem and (data_size == 1 or rem % data_size == 0):
+                add(self._cached_eval(self.state.params,
+                                      self.val_device_cache.arrays,
+                                      order[n_full * bs:]), rem)
+            return {k.replace("_loss", ""): v / max(count, 1)
+                    for k, v in sums.items()}
+
+        for batch in self.val_loader:
+            host = {k: v for k, v in batch.items() if k != "text"}
+            metrics = self.eval_step(self.state.params,
+                                     shard_batch(host, self.mesh))
+            add(metrics, len(batch["text"]))
         return {k.replace("_loss", ""): v / max(count, 1)
                 for k, v in sums.items()}
 

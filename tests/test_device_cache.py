@@ -199,3 +199,33 @@ def test_trainer_device_data_smoke(preprocessed_corpus, tmp_path):
     lines = [json.loads(l) for l in open(
         os.path.join(train_cfg.log_dir, "metrics.jsonl"))]
     assert "mel" in lines[-1] and np.isfinite(lines[-1]["mel"])
+
+
+def test_cached_evaluate_matches_host_eval(preprocessed_corpus, tmp_path):
+    """evaluate() over the device-resident val cache == the host-fed eval
+    when one batch covers the whole val set (grouping-invariant case)."""
+    from efficientspeech_tpu.config import ModelConfig, TrainConfig
+    from efficientspeech_tpu.training.loop import Trainer
+
+    stats = json.load(open(os.path.join(
+        preprocessed_corpus.preprocessed_path, "stats.json")))
+    model_cfg = ModelConfig.preset(
+        "tiny", pitch_stats=tuple(stats["pitch"][:2]),
+        energy_stats=tuple(stats["energy"][:2]),
+        max_phoneme_len=N_PAD, max_mel_len=M_PAD)
+
+    def mk(device_data, sub):
+        cfg = TrainConfig(batch_size=16, max_epochs=1, warmup_epochs=1,
+                          device_data=device_data,
+                          checkpoint_dir=str(tmp_path / sub / "ckpt"),
+                          log_dir=str(tmp_path / sub / "logs"),
+                          wav_path=str(tmp_path / sub / "wavs"))
+        return Trainer(model_cfg, cfg, preprocessed_corpus,
+                       dtype=jnp.float32)
+
+    host_val = mk(False, "host").evaluate()
+    cached_val = mk(True, "dev").evaluate()
+    assert set(host_val) == set(cached_val)
+    for k in host_val:
+        np.testing.assert_allclose(cached_val[k], host_val[k],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
