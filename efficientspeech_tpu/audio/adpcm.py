@@ -47,19 +47,21 @@ INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8,
 
 # --- device-side encoder (jax, in-graph) -------------------------------------
 
-def encode_blocks_device(wav):
-    """(B, T) float in [-1, 1], T % BLOCK == 0 → (B, T//BLOCK * BLOCK_BYTES)
-    uint8 wire bytes.  Runs inside jit: lax.scan over the block's 1024 time
-    steps, all blocks of all rows as parallel lanes."""
+def encode_blocks_device(wav, block: int = BLOCK):
+    """(B, T) float in [-1, 1], T % block == 0 → (B, T//block * block_bytes)
+    uint8 wire bytes.  Runs inside jit: lax.scan over the block's time
+    steps, all blocks of all rows as parallel lanes.  ``block`` must match
+    the decoder's (wire format constant; non-default sizes are for
+    measurement only)."""
     import jax
     import jax.numpy as jnp
 
     b, t = wav.shape
-    assert t % BLOCK == 0, (t, BLOCK)
-    nb = t // BLOCK
+    assert t % block == 0, (t, block)
+    nb = t // block
     x = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0)
     x = jnp.round(x * 32767.0).astype(jnp.int32)
-    lanes = x.reshape(b * nb, BLOCK)
+    lanes = x.reshape(b * nb, block)
 
     steps = jnp.asarray(STEP_TABLE)
     itab = jnp.asarray(INDEX_TABLE)
@@ -104,7 +106,7 @@ def encode_blocks_device(wav):
         jnp.zeros_like(idx0, jnp.uint8),
     ], axis=1)                                          # (lanes, 4)
     block_bytes = jnp.concatenate([header, packed], axis=1)
-    return block_bytes.reshape(b, nb * BLOCK_BYTES)
+    return block_bytes.reshape(b, nb * (HEADER_BYTES + block // 2))
 
 
 # --- host-side decoder --------------------------------------------------------
@@ -120,10 +122,10 @@ def _load_lib():
     _lib_tried = True
     import ctypes
 
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), "native",
-        "libesadpcm.so")
-    if not os.path.isfile(path):
+    from efficientspeech_tpu.utils.native_build import ensure_native
+
+    path = ensure_native("libesadpcm.so")
+    if path is None:
         return None
     try:
         lib = ctypes.CDLL(path)

@@ -34,7 +34,9 @@ def _load_native():
     global _NATIVE
     if _NATIVE is not None:
         return _NATIVE
-    path = os.path.abspath(_NATIVE_PATH)
+    from efficientspeech_tpu.utils.native_build import ensure_native
+
+    path = ensure_native("libespitch.so") or os.path.abspath(_NATIVE_PATH)
     if not os.path.isfile(path):
         _NATIVE = False
         return False

@@ -30,6 +30,29 @@ inline int clampi(int v, int lo, int hi) {
   return v < lo ? lo : (v > hi ? hi : v);
 }
 
+// The per-sample update depends only on (idx, code): precompute the signed
+// prediction delta and the next step index for all 89x16 states so the
+// inner loop is two table loads + add + clamp (branchless — random nibbles
+// make the bit-test branches unpredictable, ~3x slower).
+struct Tables {
+  int32_t delta[89][16];
+  uint8_t next_idx[89][16];
+  Tables() {
+    for (int idx = 0; idx < 89; ++idx) {
+      int step = kStep[idx];
+      for (int code = 0; code < 16; ++code) {
+        int vpdiff = step >> 3;
+        if (code & 4) vpdiff += step;
+        if (code & 2) vpdiff += step >> 1;
+        if (code & 1) vpdiff += step >> 2;
+        delta[idx][code] = (code & 8) ? -vpdiff : vpdiff;
+        next_idx[idx][code] = (uint8_t)clampi(idx + kIndex[code], 0, 88);
+      }
+    }
+  }
+};
+const Tables kTab;
+
 }  // namespace
 
 extern "C" void adpcm4_decode(const uint8_t* data, int n_blocks,
@@ -44,18 +67,19 @@ extern "C" void adpcm4_decode(const uint8_t* data, int n_blocks,
     const uint8_t* codes = p + kHeader;
     float* o = out + (int64_t)blk * kBlock;
     o[0] = (float)(pred * scale);
-    for (int t = 1; t < kBlock; ++t) {
-      int nibble_i = t - 1;
-      int byte = codes[nibble_i >> 1];
-      int code = (nibble_i & 1) ? (byte >> 4) : (byte & 0x0F);
-      int step = kStep[idx];
-      int vpdiff = step >> 3;
-      if (code & 4) vpdiff += step;
-      if (code & 2) vpdiff += step >> 1;
-      if (code & 1) vpdiff += step >> 2;
-      pred = clampi(pred + ((code & 8) ? -vpdiff : vpdiff), -32768, 32767);
-      idx = clampi(idx + kIndex[code], 0, 88);
+    // two nibbles (low first) per wire byte; sample t uses nibble t-1
+    for (int t = 1; t < kBlock; t += 2) {
+      int byte = codes[(t - 1) >> 1];
+      int code = byte & 0x0F;
+      pred = clampi(pred + kTab.delta[idx][code], -32768, 32767);
+      idx = kTab.next_idx[idx][code];
       o[t] = (float)(pred * scale);
+      if (t + 1 < kBlock) {
+        code = byte >> 4;
+        pred = clampi(pred + kTab.delta[idx][code], -32768, 32767);
+        idx = kTab.next_idx[idx][code];
+        o[t + 1] = (float)(pred * scale);
+      }
     }
   }
 }
