@@ -74,6 +74,9 @@ def main():
                         choices=["resident", "host", "device-cache"])
     parser.add_argument("--corpus-size", type=int, default=2000,
                         help="synthetic corpus size for --feed device-cache")
+    parser.add_argument("--scan-steps", type=int, default=1,
+                        help="with --feed device-cache: optimizer steps per "
+                             "dispatch (lax.scan over a (K,B) index matrix)")
     args = parser.parse_args()
 
     import jax
@@ -85,7 +88,7 @@ def main():
 
     from efficientspeech_tpu.config import ModelConfig, TrainConfig
     from efficientspeech_tpu.data.device_cache import (
-        make_cached_train_step, upload_cache)
+        make_cached_multi_step, make_cached_train_step, upload_cache)
     from efficientspeech_tpu.models.phoneme2mel import Phoneme2Mel
     from efficientspeech_tpu.parallel import make_mesh, shard_batch
     from efficientspeech_tpu.training.state import (
@@ -129,13 +132,31 @@ def main():
         state, metrics = cached_step(state, dev_cache, idx0)  # compile
         print("compiled; loss:", float(jax.device_get(metrics["loss"])))
 
-        idxs = [rng.permutation(s)[:b].astype(np.int32)
-                for _ in range(args.steps)]
-        t0 = time.time()
-        for idx in idxs:
-            state, metrics = cached_step(state, dev_cache, idx)
-        jax.device_get(metrics["loss"])  # barrier (device_get, not block)
-        dt = (time.time() - t0) / args.steps
+        if args.scan_steps > 1:
+            K = args.scan_steps
+            multi = make_cached_multi_step(model, tx, mesh=mesh)
+            imat = np.stack([rng.permutation(s)[:b].astype(np.int32)
+                             for _ in range(K)])
+            state, ms = multi(state, dev_cache, imat)  # compile
+            print("scan compiled; loss:",
+                  float(jax.device_get(ms["loss"][-1])))
+            n_chunks = max(1, args.steps // K)
+            imats = [np.stack([rng.permutation(s)[:b].astype(np.int32)
+                               for _ in range(K)])
+                     for _ in range(n_chunks)]
+            t0 = time.time()
+            for im in imats:
+                state, ms = multi(state, dev_cache, im)
+            jax.device_get(ms["loss"])
+            dt = (time.time() - t0) / (n_chunks * K)
+        else:
+            idxs = [rng.permutation(s)[:b].astype(np.int32)
+                    for _ in range(args.steps)]
+            t0 = time.time()
+            for idx in idxs:
+                state, metrics = cached_step(state, dev_cache, idx)
+            jax.device_get(metrics["loss"])  # barrier (device_get, not block)
+            dt = (time.time() - t0) / args.steps
     else:
         step_fn = make_train_step(model, tx, mesh=mesh)
         batch = batch_from_cache(host_cache, np.arange(b) % s, n, m)

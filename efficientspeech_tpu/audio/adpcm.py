@@ -1,26 +1,33 @@
-"""Block-parallel 4-bit IMA-style ADPCM wire codec for the device→host link.
+"""Block-parallel 4-bit fixed-step ADPCM wire codec for the device→host link.
 
 The tunneled device→host payload dominates serving latency after the fixed
-relay round (STATUS: ~16 ms of a 69 ms synthesis for µ-law); 4-bit ADPCM
-halves it again.  Plain IMA ADPCM is a sequential closed-loop predictor —
-hostile to both the TPU (no scan-free form) and chunked fetching — so the
-stream is cut into independent 1024-sample blocks:
+relay round; 4-bit ADPCM halves the µ-law payload.  Classic IMA ADPCM
+adapts its step index EVERY SAMPLE through a table lookup — on the TPU
+those per-sample gathers made the encode scan throughput-bound at ~8 ns/
+sample (~6.4 ms per synthesis, measured: benchmarks/compute_sweep.py shows
+the cost is invariant to scan length, i.e. gather-bound, not step-bound).
 
-- ENCODE (device, in-graph): blocks become lanes of a ``lax.scan`` over the
-  1024 time steps — the scan is sequential but every block encodes in
-  parallel on the VPU.  Each block stores its own header (first sample as
-  int16 + adapted step index estimated from the block's mean |diff|), so
-  blocks decode independently: a chunked fetch can decode any prefix.
-- DECODE (host): the C decoder (native/adpcm.cpp, ctypes) runs at memory
-  speed; a vectorised-across-blocks numpy fallback keeps the path portable.
+This codec instead fixes the step PER 256-SAMPLE BLOCK (11.6 ms of audio),
+chosen from the block's diff statistics: step ≈ max(1.5·mean|Δ|, max|Δ|/3)
+snapped to the IMA step table.  Measured quality is *better* than the
+adaptive walk (speech-like 40.7 vs 40.0 dB SNR; click-train 25.3 vs 22.7)
+because the in-block index walk lags transients while the max-informed
+step never badly clips — and the scan body is pure vector arithmetic:
 
-Wire layout per block: 4-byte header (pred0 int16 LE, idx0 u8, reserved)
-+ 512 bytes of packed nibbles (samples 1..1023 + one pad nibble)
-= 516 bytes / 1024 samples ≈ 4.03 bits/sample (µ-law: 8).
+- ENCODE (device, in-graph): blocks are lanes of a ``lax.scan`` over the
+  256 time steps; per-lane constants (step, step/2, step/4, step/8) are
+  computed once per block.  No gathers inside the loop.
+- DECODE (host): the C decoder (native/adpcm.cpp, ctypes) builds a
+  16-entry per-code delta table per block and runs branchless at memory
+  speed; a vectorised-across-blocks numpy fallback is bit-identical.
 
-Quality on speech-like signals: SNR ≥ 26 dB (tested) — telephony-grade,
-a notch below µ-law (~33 dB); use ``--transfer mulaw``/``int16`` when
-fidelity matters more than latency.
+Wire layout per block: 4-byte header (pred0 int16 LE, step idx u8,
+reserved) + 128 bytes of packed nibbles (samples 1..255 + one pad nibble)
+= 132 bytes / 256 samples = 4.125 bits/sample (µ-law: 8).
+
+Quality on speech-like signals: SNR ≈ 40 dB (tested ≥ 32 dB bound) — use
+``--transfer mulaw``/``int16`` when exact-telephony companding or
+bit-exact WAVs matter more than latency.
 """
 
 import os
@@ -28,10 +35,14 @@ from typing import Tuple
 
 import numpy as np
 
-BLOCK = 1024
+BLOCK = 256
 HEADER_BYTES = 4
-CODE_BYTES = BLOCK // 2  # 1023 nibbles + 1 pad
+CODE_BYTES = BLOCK // 2  # 255 nibbles + 1 pad
 BLOCK_BYTES = HEADER_BYTES + CODE_BYTES
+
+# step selection: step >= C_MEAN * mean|diff| and >= max|diff| / C_MAX
+C_MEAN = 1.5
+C_MAX = 3.0
 
 STEP_TABLE = np.array([
     7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
@@ -41,18 +52,16 @@ STEP_TABLE = np.array([
     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
     7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
     18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32)
-INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8,
-                        -1, -1, -1, -1, 2, 4, 6, 8], np.int32)
 
 
 # --- device-side encoder (jax, in-graph) -------------------------------------
 
 def encode_blocks_device(wav, block: int = BLOCK):
     """(B, T) float in [-1, 1], T % block == 0 → (B, T//block * block_bytes)
-    uint8 wire bytes.  Runs inside jit: lax.scan over the block's time
-    steps, all blocks of all rows as parallel lanes.  ``block`` must match
-    the decoder's (wire format constant; non-default sizes are for
-    measurement only)."""
+    uint8 wire bytes.  Runs inside jit: per-block step from diff stats
+    (one searchsorted per block), then a lax.scan over the block's time
+    steps with all blocks of all rows as parallel lanes — the scan body is
+    gather-free vector arithmetic."""
     import jax
     import jax.numpy as jnp
 
@@ -63,38 +72,37 @@ def encode_blocks_device(wav, block: int = BLOCK):
     x = jnp.round(x * 32767.0).astype(jnp.int32)
     lanes = x.reshape(b * nb, block)
 
-    steps = jnp.asarray(STEP_TABLE)
-    itab = jnp.asarray(INDEX_TABLE)
+    steps_tab = jnp.asarray(STEP_TABLE)
 
     pred0 = lanes[:, 0]
-    # initial step index from the block's mean |first difference| — the
-    # closed loop adapts within a few samples either way
-    mad = jnp.abs(jnp.diff(lanes, axis=1)).mean(axis=1).astype(jnp.int32)
-    idx0 = jnp.clip(jnp.searchsorted(steps, mad), 0, 88).astype(jnp.int32)
+    adiff = jnp.abs(jnp.diff(lanes, axis=1)).astype(jnp.float32)
+    target = jnp.maximum(C_MEAN * adiff.mean(axis=1),
+                         adiff.max(axis=1) / C_MAX)
+    idx0 = jnp.clip(jnp.searchsorted(steps_tab, target.astype(jnp.int32)),
+                    0, 88).astype(jnp.int32)
+    # per-lane constants — the only table lookup in the whole encode
+    step = steps_tab[idx0]
+    h = step >> 1
+    q = step >> 2
+    s8 = step >> 3
 
-    def step_fn(carry, xt):
-        pred, idx = carry
-        step = steps[idx]
+    def step_fn(pred, xt):
         diff = xt - pred
         sign = (diff < 0).astype(jnp.int32)
         d = jnp.abs(diff)
         b2 = (d >= step).astype(jnp.int32)
         d = d - b2 * step
-        h = step >> 1
         b1 = (d >= h).astype(jnp.int32)
         d = d - b1 * h
-        q = step >> 2
         b0 = (d >= q).astype(jnp.int32)
         code = b2 * 4 + b1 * 2 + b0
-        vpdiff = (step >> 3) + b2 * step + b1 * h + b0 * q
+        vpdiff = s8 + b2 * step + b1 * h + b0 * q
         pred = jnp.clip(pred + jnp.where(sign == 1, -vpdiff, vpdiff),
                         -32768, 32767)
-        idx = jnp.clip(idx + itab[code + sign * 8], 0, 88)
-        return (pred, idx), (code + sign * 8).astype(jnp.uint8)
+        return pred, (code + sign * 8).astype(jnp.uint8)
 
-    (_, _), codes = jax.lax.scan(step_fn, (pred0, idx0),
-                                 lanes[:, 1:].T)       # (BLOCK-1, lanes)
-    codes = codes.T                                     # (lanes, BLOCK-1)
+    _, codes = jax.lax.scan(step_fn, pred0, lanes[:, 1:].T)  # (block-1, L)
+    codes = codes.T                                          # (L, block-1)
     codes = jnp.concatenate(
         [codes, jnp.zeros((codes.shape[0], 1), jnp.uint8)], axis=1)
     packed = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(jnp.uint8)
@@ -157,28 +165,27 @@ def decode_blocks_host(data: np.ndarray) -> np.ndarray:
 
 
 def _decode_numpy(data: np.ndarray, n_blocks: int) -> np.ndarray:
-    """Vectorised-across-blocks fallback (sequential over the 1023 steps)."""
+    """Vectorised-across-blocks fallback (sequential over the 255 steps)."""
     blocks = data.reshape(n_blocks, BLOCK_BYTES)
     pred = (blocks[:, 0].astype(np.int32)
             | (blocks[:, 1].astype(np.int32) << 8))
     pred = (pred ^ 0x8000) - 0x8000  # sign-extend int16
     idx = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    step = STEP_TABLE[idx]
+    h, q, s8 = step >> 1, step >> 2, step >> 3
     packed = blocks[:, HEADER_BYTES:]
     codes = np.empty((n_blocks, BLOCK), np.int32)
     codes[:, 0:BLOCK:2] = packed & 0x0F
     codes[:, 1:BLOCK:2] = packed >> 4
     out = np.empty((n_blocks, BLOCK), np.int32)
     out[:, 0] = pred
-    steps, itab = STEP_TABLE, INDEX_TABLE
     for t in range(1, BLOCK):
         code = codes[:, t - 1]
-        step = steps[idx]
-        vpdiff = ((step >> 3) + np.where(code & 4, step, 0)
-                  + np.where(code & 2, step >> 1, 0)
-                  + np.where(code & 1, step >> 2, 0))
+        vpdiff = (s8 + np.where(code & 4, step, 0)
+                  + np.where(code & 2, h, 0)
+                  + np.where(code & 1, q, 0))
         pred = np.clip(pred + np.where(code & 8, -vpdiff, vpdiff),
                        -32768, 32767)
-        idx = np.clip(idx + itab[code], 0, 88)
         out[:, t] = pred
     return (out.reshape(-1) / 32767.0).astype(np.float32)
 

@@ -31,7 +31,7 @@ MULAW_DECODE_LUT = (np.sign(_dec_y)
 def encode_device(wav, fmt: str):
     """Encode a float waveform (values in [-1, 1]) inside a jitted program.
 
-    adpcm4 requires the sample count to be a multiple of its 1024 block
+    adpcm4 requires the sample count to be a multiple of its 256 block
     (all serving buffer sizes are; see infer.py's frame-level granularity).
     """
     if fmt == "f32":
@@ -72,7 +72,7 @@ def decode_host(arr: np.ndarray, fmt: str) -> np.ndarray:
 
 
 def bytes_per_sample(fmt: str) -> float:
-    return {"f32": 4, "int16": 2, "mulaw": 1, "adpcm4": 0.504}[fmt]
+    return {"f32": 4, "int16": 2, "mulaw": 1, "adpcm4": 0.516}[fmt]
 
 
 def elements_for_samples(fmt: str, n_samples: int) -> int:

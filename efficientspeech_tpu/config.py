@@ -209,6 +209,10 @@ class TrainConfig:
     # data/device_cache.py).  bf16_mel halves the cache footprint/upload.
     device_data: bool = False
     device_cache_bf16_mel: bool = False
+    # with device_data: run this many optimizer steps per dispatch via
+    # lax.scan — amortizes per-dispatch overhead (dominant on tunneled
+    # links; measured 14.5 ms/step dispatch vs ~3 ms device compute)
+    device_data_scan_steps: int = 1
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "logs"
     wav_path: str = "wavs"

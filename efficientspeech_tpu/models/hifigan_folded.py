@@ -288,10 +288,14 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
                       dtype=jnp.bfloat16,
                       use_pallas: bool = False,
                       interpret: bool = False,
-                      pallas_tm: int = 256) -> jnp.ndarray:
+                      pallas_tm: int = 512) -> jnp.ndarray:
     """Run the re-gridded folded generator.  ``arrays``/``meta`` from
     fold_hifigan_device.  Exactly equivalent to HifiGanGenerator with
-    row-level (frame-aligned) masking."""
+    row-level (frame-aligned) masking.
+
+    pallas_tm: kernel tile height.  512 measured fastest at every serving
+    shape (2048/3072/4096 frames: 4.82/8.76/11.74 ms vs 5.32/8.94/11.92 at
+    tm=256; benchmarks/compute_sweep.py)."""
     widths = dict(meta["widths"])
     reshape = dict(meta["reshape"])
     valid_mult = dict(meta["valid_mult"])

@@ -135,10 +135,12 @@ class Trainer:
         self._cached_step = None
         self.val_device_cache = None
         self._cached_eval = None
+        self._cached_multi = None
         if train_cfg.device_data:
             from efficientspeech_tpu.data.device_cache import (
                 DeviceDataCache,
                 make_cached_eval_step,
+                make_cached_multi_step,
                 make_cached_train_step,
             )
 
@@ -149,6 +151,9 @@ class Trainer:
                 model_cfg.max_mel_len, mel_dtype=mel_dtype, mesh=self.mesh)
             self._cached_step = make_cached_train_step(
                 self.model, self.tx, mesh=self.mesh)
+            if train_cfg.device_data_scan_steps > 1:
+                self._cached_multi = make_cached_multi_step(
+                    self.model, self.tx, mesh=self.mesh)
             # val set too: a val pass then uploads only indices (val mel
             # targets stay f32 — loss parity with the host-fed eval)
             self.val_device_cache = DeviceDataCache(
@@ -329,20 +334,48 @@ class Trainer:
                 idx_mat = self.device_cache.epoch_batches(
                     self.train_cfg.batch_size, epoch,
                     seed=self.train_cfg.seed)
-                steps_iter = (
-                    (self._cached_step, (self.device_cache.arrays, row))
-                    for row in idx_mat)
+                K = max(1, self.train_cfg.device_data_scan_steps)
+                remaining = (None if max_steps is None
+                             else max(0, max_steps - step))
+
+                def cached_steps(idx_mat=idx_mat, K=K, remaining=remaining):
+                    # full K-row chunks go through the scanned multi-step
+                    # program (ONE dispatch = K optimizer steps); the tail
+                    # — and the approach to max_steps — run single steps so
+                    # no second scan shape ever compiles
+                    i, n = 0, len(idx_mat)
+                    while i < n:
+                        k = min(K, n - i)
+                        if remaining is not None:
+                            k = min(k, remaining)
+                            if k == 0:
+                                return
+                        if k == K and K > 1 and self._cached_multi is not None:
+                            yield (self._cached_multi,
+                                   (self.device_cache.arrays,
+                                    idx_mat[i:i + K]), K)
+                        else:
+                            for row in idx_mat[i:i + k]:
+                                yield (self._cached_step,
+                                       (self.device_cache.arrays, row), 1)
+                        i += k
+                        if remaining is not None:
+                            remaining -= k
+
+                steps_iter = cached_steps()
             else:
                 self.train_loader.epoch = epoch  # deterministic resume order
                 steps_iter = (
                     (self.train_step,
                      (shard_batch({k: v for k, v in batch.items()
-                                   if k != "text"}, self.mesh),))
+                                   if k != "text"}, self.mesh),), 1)
                     for batch in self.train_loader)
-            for step_fn, step_args in steps_iter:
+            for step_fn, step_args, k_steps in steps_iter:
                 self.state, metrics = step_fn(self.state, *step_args)
-                step += 1
-                count += 1
+                if k_steps > 1:  # scanned chunk: metrics stacked (K,)
+                    metrics = jax.tree.map(lambda m: m.sum(0), metrics)
+                step += k_steps
+                count += k_steps
                 acc = metrics if acc is None else jax.tree.map(
                     jnp.add, acc, metrics)
                 if max_steps is not None and step >= max_steps:

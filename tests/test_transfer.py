@@ -196,7 +196,9 @@ def test_adpcm4_roundtrip_snr():
     y = decode_host(wire[0], "adpcm4")
     assert y.shape == (n,)
     snr = 10 * np.log10((x ** 2).mean() / ((x - y) ** 2).mean())
-    assert snr > 26.0, snr  # telephony-grade (mulaw measures ~33 dB here)
+    # the fixed-step-per-block codec measures ~40 dB here — better than
+    # µ-law's ~33 (the max-informed step never badly clips transients)
+    assert snr > 32.0, snr
 
 
 def test_adpcm4_c_decoder_matches_numpy():

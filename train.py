@@ -45,6 +45,10 @@ def get_args():
     parser.add_argument("--device-data-bf16-mel", action="store_true",
                         help="store cached mel targets as bf16 (halves the "
                              "cache footprint and upload time)")
+    parser.add_argument("--device-data-scan-steps", type=int, default=1,
+                        help="with --device-data: optimizer steps per "
+                             "dispatch (lax.scan); amortizes per-dispatch "
+                             "overhead on tunneled links")
     return parser.parse_args()
 
 
@@ -81,7 +85,8 @@ def main():
         checkpoint_dir=args.checkpoint_dir, log_dir=args.log_dir,
         wav_path=args.wav_path,
         device_data=args.device_data,
-        device_cache_bf16_mel=args.device_data_bf16_mel)
+        device_cache_bf16_mel=args.device_data_bf16_mel,
+        device_data_scan_steps=args.device_data_scan_steps)
 
     mesh = make_mesh(data_parallel=args.data_parallel)
     print(f"mesh: {mesh.shape} over {jax.device_count()} devices")
