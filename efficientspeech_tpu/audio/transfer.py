@@ -11,6 +11,10 @@ the host:
 - ``"mulaw"`` G.711-style µ-law companded 8-bit PCM (1 B/sample) —
               telephony-grade (~38 dB SNR); halves the dominant transfer
               again.  Decode is a 256-entry table lookup.
+- ``"adpcm4"`` fixed-step block-ADPCM, 4.125 bits/sample (~40 dB SNR on
+              speech — see audio/adpcm.py)
+- ``"adpcm3"`` 3-bit variant, 3.125 bits/sample (~35 dB on speech; still
+              above µ-law) — the smallest wire
 
 The reference has no analogue (it synthesizes and consumes on one host);
 this is TPU-serving machinery.
@@ -48,6 +52,10 @@ def encode_device(wav, fmt: str):
         from efficientspeech_tpu.audio.adpcm import encode_blocks_device
 
         return encode_blocks_device(wav)
+    if fmt == "adpcm3":
+        from efficientspeech_tpu.audio.adpcm import encode3_blocks_device
+
+        return encode3_blocks_device(wav)
     raise ValueError(f"unknown transfer format {fmt!r}")
 
 
@@ -68,11 +76,16 @@ def decode_host(arr: np.ndarray, fmt: str) -> np.ndarray:
         from efficientspeech_tpu.audio.adpcm import decode_blocks_host
 
         return decode_blocks_host(arr)
+    if fmt == "adpcm3":
+        from efficientspeech_tpu.audio.adpcm import decode3_blocks_host
+
+        return decode3_blocks_host(arr)
     raise ValueError(f"unknown transfer format {fmt!r}")
 
 
 def bytes_per_sample(fmt: str) -> float:
-    return {"f32": 4, "int16": 2, "mulaw": 1, "adpcm4": 0.516}[fmt]
+    return {"f32": 4, "int16": 2, "mulaw": 1, "adpcm4": 0.516,
+            "adpcm3": 0.391}[fmt]
 
 
 def elements_for_samples(fmt: str, n_samples: int) -> int:
@@ -82,6 +95,10 @@ def elements_for_samples(fmt: str, n_samples: int) -> int:
         from efficientspeech_tpu.audio import adpcm
 
         return adpcm.elements_for_samples(n_samples)
+    if fmt == "adpcm3":
+        from efficientspeech_tpu.audio import adpcm
+
+        return adpcm.elements3_for_samples(n_samples)
     return n_samples
 
 
@@ -90,4 +107,8 @@ def samples_for_elements(fmt: str, n_elements: int) -> int:
         from efficientspeech_tpu.audio import adpcm
 
         return adpcm.samples_for_elements(n_elements)
+    if fmt == "adpcm3":
+        from efficientspeech_tpu.audio import adpcm
+
+        return adpcm.samples3_for_elements(n_elements)
     return n_elements

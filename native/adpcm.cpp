@@ -64,3 +64,43 @@ extern "C" void adpcm4_decode(const uint8_t* data, int n_blocks,
     }
   }
 }
+
+// 3-bit variant: sign + 2 magnitude bits, fixed step per 256-sample block.
+// 8 codes pack into 3 bytes; 100-byte blocks (4-byte header + 96 code
+// bytes) -> 256 float32 samples.  Mirrors adpcm.py's encode3/_decode3.
+extern "C" void adpcm3_decode(const uint8_t* data, int n_blocks,
+                              float* out) {
+  const int kBlock3 = 256;
+  const int kBlock3Bytes = kHeader + kBlock3 * 3 / 8;
+  const double scale = 1.0 / 32767.0;
+  for (int blk = 0; blk < n_blocks; ++blk) {
+    const uint8_t* p = data + (int64_t)blk * kBlock3Bytes;
+    int pred = (int16_t)(p[0] | (p[1] << 8));
+    int idx = clampi(p[2], 0, 88);
+    int step = kStep[idx];
+    int h = step >> 1, s4 = step >> 2;
+    int32_t delta[8];
+    for (int code = 0; code < 8; ++code) {
+      int vpdiff = s4 + ((code & 2) ? step : 0) + ((code & 1) ? h : 0);
+      delta[code] = (code & 4) ? -vpdiff : vpdiff;
+    }
+    const uint8_t* bytes = p + kHeader;
+    float* o = out + (int64_t)blk * kBlock3;
+    o[0] = (float)(pred * scale);
+    // groups of 8 codes from 3 bytes; sample t uses code t-1 (the last
+    // code of the final group is padding)
+    int t = 1;
+    for (int g = 0; g < kBlock3 / 8; ++g) {
+      int b0 = bytes[g * 3], b1 = bytes[g * 3 + 1], b2 = bytes[g * 3 + 2];
+      int codes[8] = {
+          b0 & 7,          (b0 >> 3) & 7,
+          ((b0 >> 6) & 3) | ((b1 & 1) << 2), (b1 >> 1) & 7,
+          (b1 >> 4) & 7,   ((b1 >> 7) & 1) | ((b2 & 3) << 1),
+          (b2 >> 2) & 7,   (b2 >> 5) & 7};
+      for (int j = 0; j < 8 && t < kBlock3; ++j, ++t) {
+        pred = clampi(pred + delta[codes[j]], -32768, 32767);
+        o[t] = (float)(pred * scale);
+      }
+    }
+  }
+}
