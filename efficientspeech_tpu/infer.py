@@ -198,10 +198,14 @@ class Synthesizer:
                     # wire elements per chunk (≠ samples for block codecs)
                     elems = elements_for_samples(
                         fmt, fetch_chunk * cfg.total_upsample)
-                    row = pcm[0]
+                    n_chunks = out_frames // fetch_chunk
+                    # flat layout: row-major (row i, chunk k); the host
+                    # fetches only each row's covering chunks (pad rows in
+                    # a batch never cross the link at all)
                     rows = tuple(
-                        row[i * elems:(i + 1) * elems]
-                        for i in range(out_frames // fetch_chunk))
+                        pcm[i][k * elems:(k + 1) * elems]
+                        for i in range(pcm.shape[0])
+                        for k in range(n_chunks))
                 else:
                     rows = tuple(pcm[i] for i in range(pcm.shape[0]))
                 return rows, pred["mel_len"], pred["duration"]
@@ -219,11 +223,10 @@ class Synthesizer:
 
     def _pcm_chunked(self, batch: int, out_frames: int) -> bool:
         """Single source of truth for whether a fused program returns
-        per-chunk PCM arrays (used at trace time in ``_get_fused`` and by
-        the host-side fetch)."""
+        per-(row, chunk) PCM arrays (used at trace time in ``_get_fused``
+        and by the host-side fetch)."""
         chunk = self.fetch_chunk_frames
-        return (batch == 1 and out_frames % chunk == 0
-                and out_frames > chunk)
+        return out_frames % chunk == 0 and out_frames > chunk
 
     def _fetch_single_pcm(self, parts, mel_len_arr, n_valid: int,
                           out_frames: int):
@@ -600,15 +603,36 @@ class Synthesizer:
             phoneme[i, : len(r)] = r[: bucket]
 
         def fetch(pcm, mel_len_arr, spec):
-            """Per-row fetch; a single-row batch gets per-chunk arrays
-            (same trace-time condition as _get_fused) and fetches only the
-            covering chunks."""
-            if self._pcm_chunked(b_pad, spec):
-                buf, ml = self._fetch_single_pcm(
-                    pcm, mel_len_arr, min(len(rows[0]), bucket), spec)
-                return [buf], np.asarray([ml])
-            pcm_np, mel_lens = jax.device_get((pcm, mel_len_arr))
-            return list(pcm_np), np.asarray(mel_lens)
+            """Per-row chunked fetch: only the chunks covering each REAL
+            row's predicted mel length cross the link (speculative tails
+            and all-PAD padding rows stay on device); under-predicted rows
+            top up with one extra fetch."""
+            if not self._pcm_chunked(b_pad, spec):
+                pcm_np, mel_lens = jax.device_get((pcm[:b], mel_len_arr))
+                return list(pcm_np), np.asarray(mel_lens)[:b]
+            chunk = self.fetch_chunk_frames
+            n_chunks = spec // chunk
+            by_row = [pcm[i * n_chunks:(i + 1) * n_chunks] for i in range(b)]
+            if self._obs_ratio is not None:
+                ks = [min(n_chunks, max(1, -(-int(np.ceil(
+                    min(len(r), bucket) * self._obs_ratio)) // chunk)))
+                    for r in rows]
+            else:
+                ks = [n_chunks] * b
+            fetched, mel_lens = jax.device_get(
+                ([by_row[i][:ks[i]] for i in range(b)], mel_len_arr))
+            fetched = [list(f) for f in fetched]
+            mel_lens = np.asarray(mel_lens)[:b]
+            needs = [min(n_chunks, max(1, -(-min(int(m), spec) // chunk)))
+                     for m in mel_lens]
+            short = [i for i in range(b) if needs[i] > ks[i]]
+            if short:  # one combined top-up fetch for every short row
+                extras = jax.device_get(
+                    [by_row[i][ks[i]:needs[i]] for i in short])
+                for i, ex in zip(short, extras):
+                    fetched[i].extend(ex)
+            return [np.concatenate([np.asarray(c) for c in f])
+                    for f in fetched], mel_lens
 
         t0 = time.time()
         fused = self._get_fused(bucket, spec)
@@ -624,9 +648,9 @@ class Synthesizer:
             fused = self._get_fused(bucket, spec)
             pcm, mel_len_arr, _ = fused(phoneme)
             pcm_np, mel_lens = fetch(pcm, mel_len_arr, spec)
-        mel_lens = np.minimum(
-            mel_lens, samples_for_elements(self.transfer, pcm_np[0].shape[0])
-            // self.hifigan_cfg.total_upsample)
+        mel_lens = np.minimum(mel_lens, np.asarray(
+            [samples_for_elements(self.transfer, p.shape[0])
+             // self.hifigan_cfg.total_upsample for p in pcm_np]))
         elapsed = time.time() - t0
 
         up = self.hifigan_cfg.total_upsample
