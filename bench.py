@@ -45,11 +45,14 @@ def main():
     parser.add_argument("--text", default=LONG_TEXT)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
     parser.add_argument("--metric", default="rtf",
-                        choices=["rtf", "mel_rtf", "batch_rtf"],
+                        choices=["rtf", "mel_rtf", "batch_rtf", "device_rtf"],
                         help="rtf = full text→wav single-stream; mel_rtf = "
                              "mel-stage only (the reference's mRTF headline, "
                              "README.md:3); batch_rtf = serving throughput "
-                             "with batched synthesis")
+                             "with batched synthesis; device_rtf = pure "
+                             "device compute (acoustic+vocoder+wire encode) "
+                             "via an RTT-amortized on-device chain — the "
+                             "number a host-local TPU deployment would see")
     parser.add_argument("--batch", type=int, default=16,
                         help="batch size for --metric batch_rtf")
     parser.add_argument("--vocoder", default="folded_pallas",
@@ -122,6 +125,81 @@ def main():
         print(json.dumps({"metric": "mel_rtf", "value": round(mean, 2),
                           "unit": "x_realtime",
                           "vs_baseline": round(mean / 104.0, 3)}))
+        return
+
+    if args.metric == "device_rtf":
+        # pure device pipeline time: chain N dependent full syntheses
+        # (acoustic → folded vocoder → wire encode) inside ONE program
+        # (lax.fori_loop, varying first phoneme to defeat CSE) so the
+        # ~31 ms relay round amortizes away:
+        #   t_device ≈ (wall(chain_N) - wall(chain_1)) / (N - 1)
+        import dataclasses
+
+        from efficientspeech_tpu.audio.transfer import encode_device
+        from efficientspeech_tpu.models.hifigan_folded import (
+            folded_plan_apply)
+        from efficientspeech_tpu.models.phoneme2mel import Phoneme2Mel
+
+        wav, info = synth.tts(args.text)  # observe ratio + voice length
+        voice = info["voice_secs"]
+        seq = synth.phonemize(args.text)
+        phoneme_np, _, bucket = synth._pad_to_bucket(seq)
+        n_valid = int(min(len(seq), bucket))
+        spec = synth._spec_frames(n_valid, bucket)
+        model = Phoneme2Mel(
+            cfg=dataclasses.replace(synth.cfg, max_phoneme_len=bucket,
+                                    max_mel_len=spec), dtype=synth.dtype)
+        synth._ensure_folded()
+        arrays, meta = synth._folded_params
+        aparams = jax.tree.map(jnp.asarray,
+                               synth.params["phoneme2mel"])
+        use_pallas = args.vocoder == "folded_pallas"
+        fmt = args.transfer
+        first = int(phoneme_np[0, 0])
+
+        def make(n_iters):
+            @jax.jit
+            def chain(p, arrs, phoneme, seed):
+                def body(i, c):
+                    ph = phoneme.at[0, 0].set(
+                        jnp.where((i + seed) % 2 == 0, first, 2))
+                    pred = model.apply({"params": p}, ph, ph == 0,
+                                       train=False)
+                    mel_len = jnp.minimum(pred["mel_len"], spec)
+                    w = folded_plan_apply(arrs, meta, synth.hifigan_cfg,
+                                          pred["mel"], valid_len=mel_len,
+                                          dtype=synth.dtype,
+                                          use_pallas=use_pallas)
+                    pcm = encode_device(w, fmt)
+                    return c + pcm[0, 0].astype(jnp.float32) \
+                        + mel_len[0].astype(jnp.float32)
+                return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+            return chain
+
+        chain_n = 16
+        c1, cN = make(1), make(chain_n)
+        args_f = (aparams, arrays, jnp.asarray(phoneme_np))
+        jax.device_get(c1(*args_f, 0))
+        jax.device_get(cN(*args_f, 0))
+        t1s, tNs = [], []
+        for k in range(max(5, args.iter // 5)):
+            t0 = time.time()
+            jax.device_get(c1(*args_f, k + 1))
+            t1s.append(time.time() - t0)
+            t0 = time.time()
+            jax.device_get(cN(*args_f, k + 1))
+            tNs.append(time.time() - t0)
+        ms = (float(np.median(tNs)) - float(np.median(t1s))) \
+            / (chain_n - 1) * 1e3
+        rtf = voice / (ms / 1e3)
+        if args.profile:
+            jax.profiler.stop_trace()
+        print(json.dumps({"metric": "device_rtf", "value": round(rtf, 1),
+                          "unit": "x_realtime",
+                          "vs_baseline": round(rtf / BASELINE_RTF, 3)}),
+              flush=True)
+        print(f"device compute: {ms:.2f} ms per {voice:.2f} s synthesis "
+              f"(spec {spec} frames)", file=sys.stderr)
         return
 
     if args.metric == "batch_rtf":
