@@ -156,13 +156,14 @@ def main():
         use_pallas = args.vocoder == "folded_pallas"
         fmt = args.transfer
         first = int(phoneme_np[0, 0])
+        alt = 3 if first == 2 else 2  # must differ, or XLA hoists the body
 
         def make(n_iters):
             @jax.jit
             def chain(p, arrs, phoneme, seed):
                 def body(i, c):
                     ph = phoneme.at[0, 0].set(
-                        jnp.where((i + seed) % 2 == 0, first, 2))
+                        jnp.where((i + seed) % 2 == 0, first, alt))
                     pred = model.apply({"params": p}, ph, ph == 0,
                                        train=False)
                     mel_len = jnp.minimum(pred["mel_len"], spec)
@@ -176,21 +177,14 @@ def main():
                 return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
             return chain
 
+        from benchmarks._chain import per_iter_ms
+
         chain_n = 16
-        c1, cN = make(1), make(chain_n)
-        args_f = (aparams, arrays, jnp.asarray(phoneme_np))
-        jax.device_get(c1(*args_f, 0))
-        jax.device_get(cN(*args_f, 0))
-        t1s, tNs = [], []
-        for k in range(max(5, args.iter // 5)):
-            t0 = time.time()
-            jax.device_get(c1(*args_f, k + 1))
-            t1s.append(time.time() - t0)
-            t0 = time.time()
-            jax.device_get(cN(*args_f, k + 1))
-            tNs.append(time.time() - t0)
-        ms = (float(np.median(tNs)) - float(np.median(t1s))) \
-            / (chain_n - 1) * 1e3
+        phoneme_dev = jnp.asarray(phoneme_np)
+        ms = per_iter_ms(
+            make(1), make(chain_n),
+            lambda k: (aparams, arrays, phoneme_dev, k),
+            chain_n, reps=max(5, args.iter // 5))
         rtf = voice / (ms / 1e3)
         if args.profile:
             jax.profiler.stop_trace()

@@ -20,21 +20,7 @@ import time
 import numpy as np
 
 
-def chain_time(fn_one, fn_chain, args_fn, reps=7):
-    """Median per-iteration device time via (chain_N - chain_1)/(N-1)."""
-    import jax
-
-    jax.device_get(fn_one(*args_fn(0)))
-    jax.device_get(fn_chain(*args_fn(0)))
-    t1s, tNs = [], []
-    for k in range(reps):
-        t0 = time.time()
-        jax.device_get(fn_one(*args_fn(k + 1)))
-        t1s.append(time.time() - t0)
-        t0 = time.time()
-        jax.device_get(fn_chain(*args_fn(k + 1)))
-        tNs.append(time.time() - t0)
-    return np.median(t1s), np.median(tNs)
+from benchmarks._chain import chain_time  # noqa: E402
 
 
 def main():
@@ -137,39 +123,39 @@ def main():
 
     if "ac" not in skip:
         print("== acoustic (phoneme2mel) at bucket 512 (ms) ==", flush=True)
-        bucket = 512
-        ph = np.zeros((1, bucket), np.int32)
-        ph[0, :300] = rng.integers(2, 100, 300)
-        ph = jnp.asarray(ph)
-        acoustic = synth._get_acoustic(bucket)
-        p2m = synth.params["phoneme2mel"]
+        import dataclasses
+
+        from efficientspeech_tpu.models.phoneme2mel import Phoneme2Mel
+
+        bucket, spec = 512, 3072
+        ph_np = np.zeros((1, bucket), np.int32)
+        ph_np[0, :300] = rng.integers(2, 100, 300)
+        ph = jnp.asarray(ph_np)
+        model = Phoneme2Mel(
+            cfg=dataclasses.replace(synth.cfg, max_phoneme_len=bucket,
+                                    max_mel_len=spec), dtype=synth.dtype)
+        p2m = jax.tree.map(jnp.asarray, synth.params["phoneme2mel"])
+        first = int(ph_np[0, 0])
+        alt = 3 if first == 2 else 2
 
         def make(n_iters):
             @jax.jit
             def chain(params, phon, seed):
                 def body(i, c):
-                    mel, mel_len, _ = synth.model_apply_acoustic(
-                        params, phon, seed + c)
-                    return c * 0.5 + mel[0, 0, 0].astype(jnp.float32)
+                    ph2 = phon.at[0, 0].set(
+                        jnp.where((i + seed) % 2 == 0, first, alt))
+                    pred = model.apply({"params": params}, ph2, ph2 == 0,
+                                       train=False)
+                    return (c * 0.5
+                            + pred["mel"][0, 0, 0].astype(jnp.float32)
+                            + pred["mel_len"][0].astype(jnp.float32))
                 return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
             return chain
 
-        if hasattr(synth, "model_apply_acoustic"):
-            t1, tN = chain_time(make(1), make(N),
-                                lambda k: (p2m, ph, float(k)), args.reps)
-            print(f"  acoustic: {(tN - t1) / (N - 1) * 1e3:6.2f} ms",
-                  flush=True)
-        else:
-            # fall back: eager timing of the jitted acoustic program
-            ts = []
-            for k in range(args.reps):
-                ph2 = ph.at[0, 0].set(int(k) + 2)
-                t0 = time.time()
-                out = acoustic(p2m, ph2, ph2 == 0)
-                jax.device_get(out[1])
-                ts.append(time.time() - t0)
-            print(f"  acoustic (incl. ~1 round): "
-                  f"{np.median(ts) * 1e3:6.2f} ms", flush=True)
+        t1, tN = chain_time(make(1), make(N),
+                            lambda k: (p2m, ph, k), args.reps)
+        print(f"  acoustic: {(tN - t1) / (N - 1) * 1e3:6.2f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -65,19 +65,11 @@ def main():
     state = jax.device_put(state)
     step_body = _make_step_body(model, tx)
 
+    from benchmarks._chain import per_iter_ms
+
     def chain_time(make, argf):
-        c1, cN = make(1), make(args.chain)
-        jax.device_get(c1(*argf(0)))
-        jax.device_get(cN(*argf(0)))
-        t1s, tNs = [], []
-        for k in range(args.reps):
-            t0 = time.time()
-            jax.device_get(c1(*argf(k + 1)))
-            t1s.append(time.time() - t0)
-            t0 = time.time()
-            jax.device_get(cN(*argf(k + 1)))
-            tNs.append(time.time() - t0)
-        return (np.median(tNs) - np.median(t1s)) / (args.chain - 1) * 1e3
+        return per_iter_ms(make(1), make(args.chain), argf, args.chain,
+                           args.reps)
 
     s = args.corpus_size
     print(f"device: {jax.devices()[0]}  chain={args.chain}  "

@@ -25,7 +25,6 @@ Numerics: identical math to ``folded_plan_apply`` (same windows, same
 matmul precision); outputs match the single-device path to fp tolerance.
 """
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -146,15 +145,3 @@ def seq_parallel_vocode(arrays: Dict, meta, cfg: HifiGanConfig,
         in_specs=(P(), P(None, axis, None), P()),
         out_specs=P(None, axis))
     return fn(arrays, mel, valid_len)
-
-
-def make_seq_parallel_vocoder(arrays: Dict, meta, cfg: HifiGanConfig,
-                              mesh, axis: str = "sp",
-                              dtype=jnp.bfloat16):
-    """jit-wrapped entry: (mel, valid_len) → wav, sharded over ``axis``."""
-    @partial(jax.jit, static_argnames=())
-    def run(mel, valid_len):
-        return seq_parallel_vocode(arrays, meta, cfg, mel, mesh,
-                                   valid_len=valid_len, axis=axis,
-                                   dtype=dtype)
-    return run

@@ -202,23 +202,33 @@ class Trainer:
             count += b
 
         if self.val_device_cache is not None:
-            # device-resident val set: each eval batch uploads only indices
+            # device-resident val set: each eval batch uploads only
+            # indices; metric sums accumulate ON DEVICE (an extra
+            # device_get per batch would cost a full relay round each)
             bs = self.train_cfg.batch_size
             s = self.val_device_cache.num_samples
             data_size = int(self.mesh.shape.get("data", 1))
             order = np.arange(s, dtype=np.int32)
             n_full = s // bs
+            acc = None
             for i in range(n_full):
-                add(self._cached_eval(self.state.params,
-                                      self.val_device_cache.arrays,
-                                      order[i * bs:(i + 1) * bs]), bs)
+                metrics = self._cached_eval(self.state.params,
+                                            self.val_device_cache.arrays,
+                                            order[i * bs:(i + 1) * bs])
+                metrics = jax.tree.map(lambda m: m * bs, metrics)
+                acc = metrics if acc is None else jax.tree.map(
+                    jnp.add, acc, metrics)
+                count += bs
             rem = s - n_full * bs
-            # remainder: one smaller-shape eval (skipped on a sharded mesh,
-            # mirroring the host path's drop_last)
-            if rem and (data_size == 1 or rem % data_size == 0):
+            # remainder: one smaller-shape eval — single-chip only, to
+            # mirror the host val loader's drop_last on a sharded mesh
+            if rem and data_size == 1:
                 add(self._cached_eval(self.state.params,
                                       self.val_device_cache.arrays,
                                       order[n_full * bs:]), rem)
+            if acc is not None:
+                for k, v in jax.device_get(acc).items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
             return {k.replace("_loss", ""): v / max(count, 1)
                     for k, v in sums.items()}
 

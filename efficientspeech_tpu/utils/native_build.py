@@ -18,19 +18,19 @@ _attempted = set()
 
 
 def ensure_native(lib_name: str):
-    """Return the absolute path of native/<lib_name> if present or
-    buildable (one `make` attempt per process), else None."""
+    """Return the absolute path of native/<lib_name>, running `make` once
+    per process first (a no-op when the .so is newer than its source —
+    but a REBUILD when the source changed, so a stale artifact from an
+    older wire format can never be silently loaded), else None."""
     path = os.path.join(NATIVE_DIR, lib_name)
-    if os.path.isfile(path):
-        return path
-    if lib_name in _attempted or not os.path.isdir(NATIVE_DIR) \
-            or shutil.which("make") is None:
-        return None
-    _attempted.add(lib_name)
-    try:
-        subprocess.run(["make", "-C", NATIVE_DIR, lib_name],
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                       timeout=120, check=False)
-    except (OSError, subprocess.TimeoutExpired):
-        return None
+    if lib_name not in _attempted and os.path.isdir(NATIVE_DIR) \
+            and shutil.which("make") is not None:
+        _attempted.add(lib_name)
+        try:
+            subprocess.run(["make", "-C", NATIVE_DIR, lib_name],
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL,
+                           timeout=120, check=False)
+        except (OSError, subprocess.TimeoutExpired):
+            pass
     return path if os.path.isfile(path) else None
