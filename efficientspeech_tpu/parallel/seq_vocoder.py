@@ -76,13 +76,16 @@ def seq_parallel_vocode(arrays: Dict, meta, cfg: HifiGanConfig,
                         mesh,
                         valid_len: Optional[jnp.ndarray] = None,
                         axis: str = "sp",
+                        batch_axis: Optional[str] = None,
                         dtype=jnp.bfloat16) -> jnp.ndarray:
     """mel (B, T, n_mels) with T % mesh.shape[axis] == 0 →
     wav (B, T * total_upsample), frame axis sharded over ``axis``.
 
     ``arrays``/``meta`` from fold_hifigan_device (replicated).  Intended
-    use: jit this under the mesh with mel sharded P(None, axis, None).
-    """
+    use: jit this under the mesh with mel sharded P(batch_axis, axis,
+    None).  ``batch_axis`` composes data parallelism with sequence
+    parallelism (halos ride only the ``axis`` dimension; the batch split
+    is embarrassingly parallel)."""
     n = int(mesh.shape[axis])
     assert mel.shape[1] % n == 0, (mel.shape, n)
     # halos are single-hop: each shard must hold at least the widest
@@ -140,8 +143,11 @@ def seq_parallel_vocode(arrays: Dict, meta, cfg: HifiGanConfig,
         b_, t_, d_ = x.shape
         return x.reshape(b_, t_ * d_)
 
+    if batch_axis is not None:
+        assert mel.shape[0] % int(mesh.shape[batch_axis]) == 0, \
+            (mel.shape, batch_axis)
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P(None, axis, None), P()),
-        out_specs=P(None, axis))
+        in_specs=(P(), P(batch_axis, axis, None), P(batch_axis)),
+        out_specs=P(batch_axis, axis))
     return fn(arrays, mel, valid_len)

@@ -72,3 +72,34 @@ def test_seq_parallel_no_valid_len():
         mel, NamedSharding(mesh, P(None, "sp", None))))
     np.testing.assert_allclose(jax.device_get(got), jax.device_get(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dp_sp_composed_matches_single_device():
+    """Batch axis sharded over 'data' AND frame axis over 'sp' in one
+    program: the composed (2, 4) mesh must equal the single-device path
+    (halos ride only the sp dimension)."""
+    cfg, arrays, meta = _small_setup(3)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "sp"))
+
+    rng = np.random.default_rng(2)
+    b, t = 4, 16
+    mel = rng.normal(-3, 2, size=(b, t, 80)).astype(np.float32)
+    valid = np.array([13, 16, 5, 9], np.int32)
+    for i, v in enumerate(valid):
+        mel[i, v:] = 0
+    vl = jnp.asarray(valid)
+
+    ref = folded_plan_apply(arrays, meta, cfg, jnp.asarray(mel), vl,
+                            dtype=jnp.float32)
+    mel_sh = jax.device_put(
+        mel, NamedSharding(mesh, P("data", "sp", None)))
+    vl_sh = jax.device_put(np.asarray(valid),
+                           NamedSharding(mesh, P("data")))
+    got = jax.jit(
+        lambda a, m, v: seq_parallel_vocode(
+            a, meta, cfg, m, mesh, valid_len=v, axis="sp",
+            batch_axis="data", dtype=jnp.float32)
+    )(arrays, mel_sh, vl_sh)
+    np.testing.assert_allclose(jax.device_get(got), jax.device_get(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert len(got.sharding.device_set) == 8
