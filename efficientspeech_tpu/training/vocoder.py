@@ -58,10 +58,15 @@ def create_vocoder_trainer(cfg: HifiGanConfig, audio: AudioConfig,
                            lr: float = 2e-4, b1: float = 0.8,
                            b2: float = 0.99, mel_weight: float = 45.0,
                            fm_weight: float = 2.0,
-                           weight_decay: float = 0.01):
+                           weight_decay: float = 0.01,
+                           mesh=None):
     """weight_decay defaults to 0.01 = torch.optim.AdamW's default, which is
     what the upstream HiFi-GAN recipe (train.py optim.AdamW) actually uses;
-    optax.adamw's own default (1e-4) silently differs."""
+    optax.adamw's own default (1e-4) silently differs.
+
+    ``mesh``: shard (mel, wav) batches over the 'data' axis with
+    replicated states — XLA inserts the gradient psums (same pattern as
+    the acoustic train step, training/step.py)."""
     gen = HifiGanGenerator(cfg)
     mpd = MultiPeriodDiscriminator()
     msd = MultiScaleDiscriminator()
@@ -108,7 +113,6 @@ def create_vocoder_trainer(cfg: HifiGanConfig, audio: AudioConfig,
         total = adv_p + adv_s + fm_weight * fm + mel_weight * mel_l1
         return total, {"mel_l1": mel_l1, "adv": adv_p + adv_s, "fm": fm}
 
-    @jax.jit
     def train_step(state: VocoderTrainState, mel, wav
                    ) -> Tuple[VocoderTrainState, Dict]:
         disc_params = {"mpd": state.mpd_params, "msd": state.msd_params}
@@ -130,5 +134,16 @@ def create_vocoder_trainer(cfg: HifiGanConfig, audio: AudioConfig,
             disc_opt=disc_opt)
         metrics = {"disc_loss": d_loss, "gen_loss": g_loss, **aux}
         return new_state, metrics
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        train_step = jax.jit(train_step,
+                             in_shardings=(repl, data, data),
+                             out_shardings=(repl, repl))
+    else:
+        train_step = jax.jit(train_step)
 
     return gen, init, train_step

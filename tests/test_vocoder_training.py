@@ -35,3 +35,38 @@ def test_vocoder_adversarial_step():
     after = jax.tree_util.tree_leaves(state.gen_params)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
     assert int(state.step) == 1
+
+
+def test_vocoder_adversarial_step_dp_mesh():
+    """The adversarial step over a 4-way data mesh == single-device
+    numerics (losses are mean-reduced; XLA inserts the gradient psums)."""
+    from efficientspeech_tpu.parallel import make_mesh
+
+    cfg = HifiGanConfig(upsample_initial_channel=16)
+    audio = AudioConfig()
+    mesh = make_mesh(data_parallel=4)
+    gen, init1, step1 = create_vocoder_trainer(cfg, audio)
+    _, initm, stepm = create_vocoder_trainer(cfg, audio, mesh=mesh)
+
+    rng = jax.random.PRNGKey(0)
+    segment, b = 2048, 4
+    mel = jnp.asarray(
+        np.random.default_rng(0).normal(-3, 2, (b, segment // 256, 80)),
+        jnp.float32)
+    wav = jnp.asarray(
+        np.random.default_rng(1).normal(0, 0.3, (b, segment)), jnp.float32)
+
+    gen_params = gen.init(rng, mel[:1])["params"]
+    s1 = init1(rng, gen_params, segment=segment)
+    sm = initm(rng, gen_params, segment=segment)
+
+    s1, m1 = step1(s1, mel, wav)
+    sm, mm = stepm(sm, mel, wav)
+    m1, mm = jax.device_get((m1, mm))
+    for k in m1:
+        np.testing.assert_allclose(mm[k], m1[k], rtol=2e-5, atol=2e-5,
+                                   err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5),
+        jax.device_get(s1.gen_params), jax.device_get(sm.gen_params))
