@@ -44,17 +44,24 @@ def main():
     parser.add_argument("--warmup", type=int, default=10)
     parser.add_argument("--text", default=LONG_TEXT)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
-    parser.add_argument("--metric", default="rtf",
-                        choices=["rtf", "mel_rtf", "batch_rtf", "device_rtf"],
+    parser.add_argument("--metric", default="all",
+                        choices=["all", "rtf", "mel_rtf", "batch_rtf",
+                                 "device_rtf"],
                         help="rtf = full text→wav single-stream; mel_rtf = "
                              "mel-stage only (the reference's mRTF headline, "
                              "README.md:3); batch_rtf = serving throughput "
                              "with batched synthesis; device_rtf = pure "
                              "device compute (acoustic+vocoder+wire encode) "
                              "via an RTT-amortized on-device chain — the "
-                             "number a host-local TPU deployment would see")
-    parser.add_argument("--batch", type=int, default=16,
-                        help="batch size for --metric batch_rtf")
+                             "number a host-local TPU deployment would see. "
+                             "'all' (default) prints mel/device/batch RTF "
+                             "as preceding JSON log lines and the "
+                             "single-stream RTF as the FINAL line (the one "
+                             "the driver parses) — the full metric picture "
+                             "in one run, so the numbers that aren't "
+                             "hostage to relay weather get recorded too")
+    parser.add_argument("--batch", type=int, default=128,
+                        help="batch size for the batch_rtf metric")
     parser.add_argument("--vocoder", default="folded_pallas",
                         choices=["folded", "folded_pallas", "chunked"],
                         help="folded_pallas (default) routes single-"
@@ -104,7 +111,7 @@ def main():
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
-    if args.metric == "mel_rtf":
+    def run_mel_rtf(iters):
         # reference mRTF: seconds of mel audio per wall second
         # (reference headline: 104x on RPi4, README.md:3)
         seq = synth.phonemize(args.text)
@@ -112,22 +119,19 @@ def main():
         acoustic = synth._get_acoustic(bucket)
         hop_secs = synth.hop_length / synth.sampling_rate
         mrtfs = []
-        for _ in range(args.iter):
+        for _ in range(iters):
             t0 = time.time()
             mel, mel_len, _ = acoustic(synth.params["phoneme2mel"],
                                        phoneme, pad_mask)
             mel_len = int(jax.device_get(mel_len)[0])
             mrtfs.append(mel_len * hop_secs / (time.time() - t0))
         mean = float(np.median(mrtfs))
-        if args.profile:
-            jax.profiler.stop_trace()
         # mRTF baseline: 104x on RPi4 (README.md:3)
-        print(json.dumps({"metric": "mel_rtf", "value": round(mean, 2),
-                          "unit": "x_realtime",
-                          "vs_baseline": round(mean / 104.0, 3)}))
-        return
+        return {"metric": "mel_rtf", "value": round(mean, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(mean / 104.0, 3)}
 
-    if args.metric == "device_rtf":
+    def run_device_rtf(iters):
         # pure device pipeline time: chain N dependent full syntheses
         # (acoustic → folded vocoder → wire encode) inside ONE program
         # (lax.fori_loop, varying first phoneme to defeat CSE) so the
@@ -184,65 +188,83 @@ def main():
         ms = per_iter_ms(
             make(1), make(chain_n),
             lambda k: (aparams, arrays, phoneme_dev, k),
-            chain_n, reps=max(5, args.iter // 5))
+            chain_n, reps=max(5, iters // 5))
         rtf = voice / (ms / 1e3)
-        if args.profile:
-            jax.profiler.stop_trace()
-        print(json.dumps({"metric": "device_rtf", "value": round(rtf, 1),
-                          "unit": "x_realtime",
-                          "vs_baseline": round(rtf / BASELINE_RTF, 3)}),
-              flush=True)
         print(f"device compute: {ms:.2f} ms per {voice:.2f} s synthesis "
               f"(spec {spec} frames)", file=sys.stderr)
-        return
+        return {"metric": "device_rtf", "value": round(rtf, 1),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / BASELINE_RTF, 3)}
 
-    if args.metric == "batch_rtf":
-        texts = [args.text] * args.batch
+    def run_batch_rtf(iters, batch):
+        texts = [args.text] * batch
         synth.tts_batch(texts[:2])  # warm the batched programs
         synth.tts_batch(texts)
         rtfs = []
-        for _ in range(args.iter):
+        for _ in range(iters):
             t0 = time.time()
             outs = synth.tts_batch(texts)
             elapsed = time.time() - t0
             voice = sum(info["voice_secs"] for _, info in outs)
             rtfs.append(voice / elapsed)
         med = float(np.median(rtfs))
+        return {"metric": "batch_text_to_wav_rtf", "batch": batch,
+                "value": round(med, 2), "unit": "x_realtime",
+                "vs_baseline": round(med / BASELINE_RTF, 3)}
+
+    def run_rtf(iters):
+        rtfs, model_rtfs, voice = [], [], 0.0
+        info = {}
+        for _ in range(iters):
+            _, info = synth.tts(args.text, verbose=args.verbose)
+            rtfs.append(info["rtf"])
+            model_rtfs.append(info["model_rtf"])
+            voice = info["voice_secs"]
+        # median: occasional multi-second transport stalls on tunneled
+        # devices poison a mean; median reflects steady-state latency
+        med_rtf = float(np.median(rtfs))
+        if args.verbose:
+            extras = {
+                "model_rtf_mean": round(float(np.mean(model_rtfs)), 2),
+                "voice_secs": round(voice, 3),
+                "phonemes": int(info["phoneme_len"]),
+                "device": str(jax.devices()[0]),
+                "precision": args.precision,
+            }
+            print(json.dumps(extras), file=sys.stderr)
+        return {"metric": "text_to_wav_rtf", "value": round(med_rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(med_rtf / BASELINE_RTF, 3)}
+
+    try:
+        if args.metric == "all":
+            # full metric picture in ONE run: the non-final lines are log
+            # output the driver's tail captures; the LAST line is the
+            # scored single-stream RTF.  Each extra metric is best-effort —
+            # a failure there must not cost the scored number.
+            for fn, label in ((lambda: run_mel_rtf(max(10, args.iter // 2)),
+                               "mel_rtf"),
+                              (lambda: run_device_rtf(args.iter),
+                               "device_rtf"),
+                              (lambda: run_batch_rtf(
+                                  max(5, args.iter // 10), args.batch),
+                               "batch_rtf")):
+                try:
+                    print(json.dumps(fn()), flush=True)
+                except Exception as e:
+                    print(f"{label} failed: {e}", file=sys.stderr)
+            result = run_rtf(args.iter)
+        elif args.metric == "mel_rtf":
+            result = run_mel_rtf(args.iter)
+        elif args.metric == "device_rtf":
+            result = run_device_rtf(args.iter)
+        elif args.metric == "batch_rtf":
+            result = run_batch_rtf(args.iter, args.batch)
+        else:
+            result = run_rtf(args.iter)
+    finally:
         if args.profile:
             jax.profiler.stop_trace()
-        print(json.dumps({"metric": "batch_text_to_wav_rtf",
-                          "value": round(med, 2), "unit": "x_realtime",
-                          "vs_baseline": round(med / BASELINE_RTF, 3)}))
-        return
-
-    rtfs, model_rtfs, voice = [], [], 0.0
-    for _ in range(args.iter):
-        _, info = synth.tts(args.text, verbose=args.verbose)
-        rtfs.append(info["rtf"])
-        model_rtfs.append(info["model_rtf"])
-        voice = info["voice_secs"]
-
-    if args.profile:
-        jax.profiler.stop_trace()
-
-    # median: occasional multi-second transport stalls on tunneled devices
-    # poison a mean; median reflects the steady-state latency
-    med_rtf = float(np.median(rtfs))
-    result = {
-        "metric": "text_to_wav_rtf",
-        "value": round(med_rtf, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(med_rtf / BASELINE_RTF, 3),
-    }
-    if args.verbose:
-        extras = {
-            "model_rtf_mean": round(float(np.mean(model_rtfs)), 2),
-            "voice_secs": round(voice, 3),
-            "phonemes": int(info["phoneme_len"]),
-            "device": str(jax.devices()[0]),
-            "precision": args.precision,
-        }
-        print(json.dumps(extras), file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -33,8 +33,8 @@ def main():
     parser.add_argument("--export", default=None,
                         help="write serialized StableHLO program here")
     parser.add_argument("--onnx", default=None,
-                        help="write a .onnx (via the reference torch "
-                             "modules; reference --onnx)")
+                        help="write a .onnx (traced from the vendored "
+                             "torch mirror — standalone; reference --onnx)")
     parser.add_argument("--onnx-opset", type=int, default=17)
     parser.add_argument("--insize", type=int, default=128,
                         help="fixed phoneme length for export "

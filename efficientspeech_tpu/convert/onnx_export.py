@@ -3,9 +3,10 @@
 The reference exports its torch model to a fixed-insize .onnx runnable
 anywhere under onnxruntime.  Our compute path is JAX (the native analogue
 is the StableHLO export in convert/export.py), but the interchange
-capability is preserved: our parameter pytrees are converted back to the
-reference torch modules (convert/to_torch.py) and exported through
-torch.onnx with the reference's exact input/output contract —
+capability is preserved: our parameter pytrees load into the VENDORED
+torch mirror of the architecture (convert/torch_modules.py — standalone,
+no reference checkout needed) and export through torch.onnx with the
+reference's exact input/output contract —
 inputs[1, insize] int → (wav, lengths, duration).
 
 The environment lacks the ``onnx`` python package; torch's TorchScript
@@ -121,15 +122,27 @@ def build_reference_model(params, cfg: ModelConfig,
 
 
 def export_onnx(params, cfg: ModelConfig, hifigan_cfg: HifiGanConfig,
-                path: str, insize: int = 128, opset: int = 17) -> int:
+                path: str, insize: int = 128, opset: int = 17,
+                use_reference: bool = False) -> int:
     """Write a fixed-insize .onnx (reference contract: convert.py:35-42);
-    returns the file size in bytes."""
+    returns the file size in bytes.
+
+    The graph is traced from the VENDORED torch modules
+    (convert/torch_modules.py) — fully standalone, no reference checkout
+    needed.  ``use_reference=True`` traces the live reference modules
+    instead (A/B validation when a checkout is mounted)."""
     import os
 
     import torch
 
     _shim_missing_onnx_package()
-    model = build_reference_model(params, cfg, hifigan_cfg)
+    if use_reference:
+        model = build_reference_model(params, cfg, hifigan_cfg)
+    else:
+        from efficientspeech_tpu.convert.torch_modules import (
+            build_export_model)
+
+        model = build_export_model(params, cfg, hifigan_cfg)
     phoneme = torch.randint(low=70, high=146, size=(1, insize)).int()
     with torch.no_grad():
         torch.onnx.export(

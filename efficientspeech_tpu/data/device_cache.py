@@ -159,12 +159,20 @@ class DeviceDataCache:
 
 
 def make_cached_eval_step(model, mesh=None):
-    """eval_step(params, cache, idx) -> loss dict; teacher-forced forward
-    over device-resident rows (the val-set counterpart of the cached train
-    step — a val pass uploads only indices)."""
+    """eval_step(params, cache, idx, row_valid) -> loss dict; teacher-forced
+    forward over device-resident rows (the val-set counterpart of the cached
+    train step — a val pass uploads only indices).
+
+    ``row_valid`` (B,) bool marks which rows are real samples: the final
+    partial val batch is padded to the full static batch shape with
+    arbitrary indices and ``row_valid=False`` — those rows become fully
+    masked, so the masked-mean losses are EXACTLY those of the unpadded
+    remainder.  One compiled program thus evaluates every batch including
+    the remainder, on any mesh (the round-2 code dropped the remainder on
+    sharded meshes and compiled a second smaller program on single-chip)."""
     from efficientspeech_tpu.training.losses import compute_losses
 
-    def step(params, cache, idx):
+    def step(params, cache, idx, row_valid):
         batch = gather_batch(cache, idx)
         pred = model.apply(
             {"params": params["phoneme2mel"]
@@ -175,14 +183,23 @@ def make_cached_eval_step(model, mesh=None):
             duration_target=batch["duration"],
             speaker=batch.get("speaker"),
             train=True)
-        return compute_losses(pred, batch)
+        # the model sees the rows' true masks (padding rows duplicate a
+        # real sample — finite activations everywhere); only the LOSS
+        # masks every position of a padding row, which zeroes both its
+        # numerator and denominator contribution
+        invalid = ~row_valid
+        loss_batch = dict(
+            batch,
+            phoneme_mask=batch["phoneme_mask"] | invalid[:, None],
+            mel_mask=batch["mel_mask"] | invalid[:, None])
+        return compute_losses(pred, loss_batch)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        return jax.jit(step, in_shardings=(repl, repl, data),
+        return jax.jit(step, in_shardings=(repl, repl, data, data),
                        out_shardings=repl)
     return jax.jit(step)
 

@@ -82,7 +82,22 @@ class Synthesizer:
         self.spec_expansion = spec_expansion
         self.spec_min_frames = SPEC_MIN_FRAMES
         self.fetch_chunk_frames = FETCH_CHUNK_FRAMES
-        self._obs_ratio = None  # max observed mel frames per phoneme
+        # frames/phoneme speculation tracker: max over a sliding WINDOW of
+        # recent syntheses (not an all-time max — one pathological utterance
+        # must not permanently inflate every later buffer; it ages out)
+        self._obs_ratio = None
+        self._obs_recent = None  # lazily-built deque of recent ratios
+        # serving mode: when True, a (batch, bucket, frames) shape that has
+        # not been compiled yet is routed to the smallest already-warm
+        # program covering it instead of compiling inline (a cold remote
+        # compile takes minutes and would stall every queued request)
+        self.warm_only = False
+        self._warm_shapes = set()
+        self._jit_objs = {}
+        # serving hook: called with the requested (batch, bucket, frames)
+        # whenever warm_only routing substitutes a different warm shape —
+        # lets the server compile the exact shape in the background
+        self.on_cold_shape = None
         self._folded_params = None
         self._packed_folded = None
         self.preprocess_cfg = preprocess_cfg or PreprocessConfig()
@@ -194,7 +209,7 @@ class Synthesizer:
                 # never crosses the link.
                 fetch_chunk = self.fetch_chunk_frames
                 # trace-time value: the host mirrors this via _pcm_chunked
-                if self._pcm_chunked(phoneme.shape[0], out_frames):
+                if self._pcm_chunked(out_frames):
                     # wire elements per chunk (≠ samples for block codecs)
                     elems = elements_for_samples(
                         fmt, fetch_chunk * cfg.total_upsample)
@@ -210,23 +225,88 @@ class Synthesizer:
                     rows = tuple(pcm[i] for i in range(pcm.shape[0]))
                 return rows, pred["mel_len"], pred["duration"]
 
+            self._jit_objs[key] = fused
+
             def call(phoneme, speaker=None):
                 if not multi_speaker:
-                    return fused(self._packed_folded[0], phoneme)
-                if speaker is None:
-                    speaker = np.zeros((phoneme.shape[0],), np.int32)
-                return fused(self._packed_folded[0], phoneme,
-                             np.asarray(speaker, np.int32))
+                    out = fused(self._packed_folded[0], phoneme)
+                elif speaker is None:
+                    out = fused(self._packed_folded[0], phoneme,
+                                np.zeros((phoneme.shape[0],), np.int32))
+                else:
+                    out = fused(self._packed_folded[0], phoneme,
+                                np.asarray(speaker, np.int32))
+                # the dispatch above blocked on any needed compile, so this
+                # (batch, bucket, frames) program is now warm for routing
+                self._warm_shapes.add(
+                    (phoneme.shape[0], bucket, out_frames))
+                return out
 
             self._jitted[key] = fn = call
         return fn
 
-    def _pcm_chunked(self, batch: int, out_frames: int) -> bool:
+    def _pcm_chunked(self, out_frames: int) -> bool:
         """Single source of truth for whether a fused program returns
         per-(row, chunk) PCM arrays (used at trace time in ``_get_fused``
         and by the host-side fetch)."""
         chunk = self.fetch_chunk_frames
         return out_frames % chunk == 0 and out_frames > chunk
+
+    # --- serving-mode shape management -------------------------------------
+    def _route_warm(self, batch: int, bucket: int, frames: int):
+        """Map a requested (batch, bucket, frames) program shape to an
+        already-compiled one that covers it (serving mode only).
+
+        Returns the requested triple unchanged when ``warm_only`` is off,
+        when the exact shape is warm, or when nothing warm covers it (the
+        caller then compiles inline — unavoidable).  A larger warm program
+        is numerically identical: extra batch rows are all-PAD (mel_len 0,
+        never fetched), a larger bucket pads with PAD ids, and a larger
+        frame buffer only adds silent tail chunks that stay on device."""
+        want = (batch, bucket, frames)
+        if not self.warm_only or want in self._warm_shapes:
+            return want
+        cands = [s for s in self._warm_shapes
+                 if s[0] >= batch and s[1] >= bucket and s[2] >= frames]
+        if not cands:
+            return want
+        if self.on_cold_shape is not None:
+            self.on_cold_shape(want)
+        return min(cands, key=lambda s: (s[2], s[1], s[0]))
+
+    def _route_warm1(self, bucket: int, frames: int):
+        """Single-utterance routing: like ``_route_warm`` but pinned to
+        batch 1 (the single-stream fetch path indexes PCM chunks assuming
+        exactly one row)."""
+        if not self.warm_only or (1, bucket, frames) in self._warm_shapes:
+            return bucket, frames
+        cands = [s for s in self._warm_shapes
+                 if s[0] == 1 and s[1] >= bucket and s[2] >= frames]
+        if not cands:
+            return bucket, frames
+        if self.on_cold_shape is not None:
+            self.on_cold_shape((1, bucket, frames))
+        best = min(cands, key=lambda s: (s[2], s[1]))
+        return best[1], best[2]
+
+    def aot_compile(self, batch: int, bucket: int, frames: int,
+                    speaker: bool = False):
+        """Compile the fused program for an exact shape WITHOUT executing
+        it (jit ``lower().compile()`` on ShapeDtypeStructs).  Used by the
+        serving layer to warm shapes at startup or in the background: the
+        compile populates the persistent compilation cache, so the first
+        real execution at this shape is a fast cache hit instead of a
+        minutes-long inline remote compile."""
+        self._get_fused(bucket, frames)
+        key = ("fused", self.vocoder_mode, self.transfer, bucket, frames)
+        jitfn = self._jit_objs[key]
+        flat = self._packed_folded[0]
+        args = [jax.ShapeDtypeStruct(flat.shape, flat.dtype),
+                jax.ShapeDtypeStruct((batch, bucket), jnp.int32)]
+        if self.cfg.n_speakers > 1 or speaker:
+            args.append(jax.ShapeDtypeStruct((batch,), jnp.int32))
+        jitfn.lower(*args).compile()
+        self._warm_shapes.add((batch, bucket, frames))
 
     def _fetch_single_pcm(self, parts, mel_len_arr, n_valid: int,
                           out_frames: int):
@@ -237,7 +317,7 @@ class Synthesizer:
         count is predicted from the observed frames/phoneme ratio (exact
         for repeated texts); an under-prediction costs one extra fetch.
         Returns (concatenated wire buffer, unclamped mel_len)."""
-        if not self._pcm_chunked(1, out_frames):
+        if not self._pcm_chunked(out_frames):
             pcm_np, mel_len_np = jax.device_get((parts, mel_len_arr))
             return np.asarray(pcm_np[0]), int(mel_len_np[0])
         chunk = self.fetch_chunk_frames
@@ -256,15 +336,26 @@ class Synthesizer:
             fetched.extend(jax.device_get(parts[k:need_k]))
         return np.concatenate([np.asarray(c) for c in fetched]), mel_len
 
+    # how many recent syntheses the speculation tracker remembers: the max
+    # over this window sizes the buffers, so one pathological utterance
+    # inflates them for at most OBS_WINDOW syntheses instead of forever
+    OBS_WINDOW = 64
+
     def _observe_ratio(self, mel_len: int, n_phonemes: int):
         """Track the served model's frames-per-phoneme so speculation
         self-tunes: after warmup the buffers shrink from the conservative
-        static default to observed_max × 1.25 (fewer vocoder FLOPs and —
-        dominant on tunneled links — fewer fetch bytes)."""
+        static default to windowed_max × 1.25 (fewer vocoder FLOPs and —
+        dominant on tunneled links — fewer fetch bytes).  The tracker is a
+        max over the last ``OBS_WINDOW`` syntheses, not an all-time max —
+        a single outlier utterance ages out instead of permanently
+        inflating every later buffer."""
         if n_phonemes > 0 and mel_len > 0:
-            r = mel_len / n_phonemes
-            if self._obs_ratio is None or r > self._obs_ratio:
-                self._obs_ratio = r
+            import collections
+
+            if self._obs_recent is None:
+                self._obs_recent = collections.deque(maxlen=self.OBS_WINDOW)
+            self._obs_recent.append(mel_len / n_phonemes)
+            self._obs_ratio = max(self._obs_recent)
 
     def _spec_levels(self, bucket: int):
         """{pow2, 1.5·pow2} frame-count ladder (multiples of 512 so every
@@ -432,6 +523,11 @@ class Synthesizer:
         if self.fused_pipeline and self.vocoder_mode != "chunked":
             n_valid = int(min(len(seq), bucket))
             spec = self._spec_frames(n_valid, bucket)
+            r_bucket, spec = self._route_warm1(bucket, spec)
+            if r_bucket != bucket:  # routed to a larger warm bucket: repad
+                bucket = r_bucket
+                phoneme = np.zeros((1, bucket), np.int32)
+                phoneme[0, :n_valid] = seq[:n_valid]
             spk = None if speaker is None else np.asarray([speaker])
             fused = self._get_fused(bucket, spec)
             pcm, mel_len_arr, duration = fused(phoneme, speaker=spk)
@@ -443,6 +539,7 @@ class Synthesizer:
                 if spec < full:
                     spec = self._spec_frames(n_valid, bucket,
                                              min_frames=min(mel_len, full))
+                    _, spec = self._route_warm1(bucket, spec)
                     fused = self._get_fused(bucket, spec)
                     pcm, mel_len_arr, duration = fused(phoneme, speaker=spk)
                     buf, mel_len = self._fetch_single_pcm(
@@ -598,6 +695,8 @@ class Synthesizer:
         max_len = max(len(r) for r in rows)
         bucket = next_bucket(max_len, self.phoneme_buckets)
         spec = self._spec_frames(min(max_len, bucket), bucket)
+        # serving mode: never compile inline — cover with a warm program
+        b_pad, bucket, spec = self._route_warm(b_pad, bucket, spec)
         phoneme = np.zeros((b_pad, bucket), np.int32)
         for i, r in enumerate(rows):
             phoneme[i, : len(r)] = r[: bucket]
@@ -607,7 +706,7 @@ class Synthesizer:
             row's predicted mel length cross the link (speculative tails
             and all-PAD padding rows stay on device); under-predicted rows
             top up with one extra fetch."""
-            if not self._pcm_chunked(b_pad, spec):
+            if not self._pcm_chunked(spec):
                 pcm_np, mel_lens = jax.device_get((pcm[:b], mel_len_arr))
                 return list(pcm_np), np.asarray(mel_lens)[:b]
             chunk = self.fetch_chunk_frames
@@ -645,6 +744,7 @@ class Synthesizer:
             spec = self._spec_frames(
                 min(max_len, bucket), bucket,
                 min_frames=min(int(mel_lens.max()), full))
+            _, _, spec = self._route_warm(b_pad, bucket, spec)
             fused = self._get_fused(bucket, spec)
             pcm, mel_len_arr, _ = fused(phoneme)
             pcm_np, mel_lens = fetch(pcm, mel_len_arr, spec)
@@ -711,11 +811,16 @@ class Synthesizer:
                             "mel_len": int(mel_lens[i])}))
         return out
 
-    def precompile(self, texts=None, buckets=None, full: bool = False):
+    def precompile(self, texts=None, buckets=None, full: bool = False,
+                   batch_sizes=(1,), aot: bool = True):
         """Compile serving programs ahead of traffic: one fused program per
-        (bucket, speculative-size) shape implied by sample texts and/or
-        explicit bucket sizes.  ``full=True`` additionally compiles the
-        16×-expansion fallback programs (used when speculation undershoots)."""
+        (batch, bucket, speculative-size) shape implied by sample texts
+        and/or explicit bucket sizes, for each batch size.  ``full=True``
+        additionally compiles the 16×-expansion fallback programs (used
+        when speculation undershoots).  With ``aot`` (default) each shape
+        is ACTUALLY compiled via ``aot_compile`` (lower+compile, no
+        execution) and marked warm for ``warm_only`` routing; ``aot=False``
+        only builds the host-side wrappers (round-2 behavior)."""
         shapes = set()
         for text in texts or []:
             seq = self.phonemize(text)
@@ -727,12 +832,20 @@ class Synthesizer:
             shapes.add((b, self._spec_frames(b, b)))
             if full:
                 shapes.add((b, b * self.mel_expansion))
+        done = []
         for b, frames in sorted(shapes):
             if self.fused_pipeline and self.vocoder_mode != "chunked":
-                self._get_fused(b, frames)
+                if aot:
+                    for bs in sorted(set(batch_sizes)):
+                        self.aot_compile(bs, b, frames)
+                        done.append((bs, b, frames))
+                else:
+                    self._get_fused(b, frames)
+                    done.append((1, b, frames))
             else:
                 self._get_acoustic(b)
-        return sorted(shapes)
+                done.append((1, b, frames))
+        return done
 
     def warmup(self, text: str, iters: int = 10):
         """Compile + warm both pipeline programs for this text's buckets

@@ -103,8 +103,38 @@ def _collapse_doubles(word: str) -> str:
     return "".join(out)
 
 
+_VOWEL_PHONES = ("AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY",
+                 "IH", "IY", "OW", "OY", "UH", "UW")
+
+
+def _has_vowel(phones: List[str]) -> bool:
+    return any(p.rstrip("012") in _VOWEL_PHONES for p in phones)
+
+
+def _demote_stress(phones: List[str]) -> List[str]:
+    return [p.replace("1", "0") if p.endswith("1") else p for p in phones]
+
+
+def normalize_stress(phones: List[str]) -> List[str]:
+    """At most ONE primary stress: the first '1' stays primary, later '1's
+    become secondary '2' (English default: initial stress; stress-bearing
+    suffixes demote the stem before this runs)."""
+    out, seen = [], False
+    for p in phones:
+        if p.endswith("1"):
+            if seen:
+                p = p[:-1] + "2"
+            seen = True
+        out.append(p)
+    return out
+
+
 def rule_g2p(word: str) -> List[str]:
     """Heuristic English letter-to-sound; returns ARPAbet phones."""
+    return normalize_stress(_rule_g2p(word))
+
+
+def _rule_g2p(word: str) -> List[str]:
     word = word.lower()
     word = "".join(c for c in word if c.isalpha() or c == "'")
     if not word:
@@ -113,38 +143,37 @@ def rule_g2p(word: str) -> List[str]:
     for suffix, ph in _SUFFIXES:
         min_stem = _SUFFIX_MIN_STEM.get(suffix, 1)
         if word.endswith(suffix) and len(word) - len(suffix) >= min_stem:
-            return rule_g2p(word[: -len(suffix)]) + ph
+            stem = _rule_g2p(word[: -len(suffix)])
+            if any(p.endswith("1") for p in ph):
+                # stress-bearing suffix (-ation, -ition, ...): the suffix
+                # carries primary stress, the stem demotes
+                stem = _demote_stress(stem)
+            return stem + ph
 
     # past-tense -ed: allomorph chosen by the stem's final phone
     if word.endswith("ed") and len(word) - 2 >= _SUFFIX_MIN_STEM["ed"]:
-        stem = rule_g2p(word[:-2])
+        stem = _rule_g2p(word[:-2])
         if stem:
             last = stem[-1]
             if last in ("T", "D"):
                 return stem + ["IH0", "D"]
             return stem + (["T"] if last in _VOICELESS else ["D"])
 
-    # unstressed closed endings: kitten/garden, basket/market, little/table,
-    # button/cotton
-    for ending, tail in (("en", ["AH0", "N"]), ("on", ["AH0", "N"]),
-                         ("et", ["IH0", "T"]), ("le", ["AH0", "L"])):
-        if word.endswith(ending) \
-                and len(word) - 2 >= _SUFFIX_MIN_STEM.get(ending, 4) \
-                and word[-3] not in _VOWEL_LETTERS:
-            return rule_g2p(word[:-2]) + tail
-
     phones: List[str] = []
+    n = len(word)
 
-    # magic-e: CVCe → long vowel, silent e
+    # final e after a consonant is silent whenever an earlier vowel exists
+    # (dance, house, give, table); additionally a V-C-e tail is "magic"
+    # (lengthens that vowel: make, time)
     silent_final_e = (
         len(word) >= 3
         and word[-1] == "e"
         and word[-2] not in _VOWEL_LETTERS
-        and word[-3] in _VOWEL_LETTERS
+        and any(ch in _VOWEL_LETTERS for ch in word[:-2])
     )
+    magic_e = silent_final_e and word[-3] in _VOWEL_LETTERS
 
     i = 0
-    n = len(word)
     while i < n:
         if silent_final_e and i == n - 1:
             break
@@ -167,6 +196,14 @@ def rule_g2p(word: str) -> List[str]:
             i += 1
             continue
 
+        # word-initial ar+V is the r-colored reduced syllable
+        # (around, arise) — not the 'ar' digraph (arm, art)
+        if c == "a" and i == 0 and nxt == "r" and nxt2 in _VOWEL_LETTERS \
+                and n >= 5:
+            phones.append("ER0")
+            i += 1
+            continue
+
         # word-initial unstressed a- in a-CV multisyllables
         # (away, again, along, about)
         if c == "a" and i == 0 and n >= 4 and nxt in _CONSONANTS \
@@ -174,6 +211,25 @@ def rule_g2p(word: str) -> List[str]:
             phones.append("AH0")
             i += 1
             continue
+
+        # unstressed prefixes be-/de-/re- before a consonant (before,
+        # believe, return, decide); exceptions (recent, demon) are
+        # lexicon entries
+        if i == 0 and c in "bdr" and nxt == "e" and n >= 5 \
+                and nxt2 not in _VOWEL_LETTERS and nxt2 != c:
+            phones.extend([_CONSONANTS[c], "IH0"])
+            i += 2
+            continue
+
+        # n assimilates to NG before velars (think, bank, uncle, anchor)
+        if c == "n" and (nxt in "kgqx" or
+                         (nxt == "c" and nxt2 not in "eiyh")):
+            if nxt == "g" and nxt2 in "eiy":
+                pass  # danger, angel: n + soft g, no velar
+            else:
+                phones.append("NG")
+                i += 1
+                continue
 
         matched = False
         for digraph, ph in _DIGRAPHS:
@@ -186,6 +242,10 @@ def rule_g2p(word: str) -> List[str]:
                 # word-final -ow is /oʊ/ (yellow, slow), not /aʊ/
                 if digraph == "ow" and i + 2 == n:
                     ph = ["OW1"]
+                # ng before e/i/y is n + SOFT g (danger, engine), not /ŋ/
+                if digraph in ("ng", "ong") and i + len(digraph) < n \
+                        and word[i + len(digraph)] in "eiy":
+                    continue
                 phones.extend(ph)
                 i += len(digraph)
                 matched = True
@@ -193,14 +253,39 @@ def rule_g2p(word: str) -> List[str]:
         if matched:
             continue
         if c in _VOWEL_LETTERS:
+            # reduced FINAL closed syllable: V + single final consonant
+            # with an earlier vowel already emitted (open, pilot, problem,
+            # cabin, silent...) — schwa, not a full vowel
+            if _has_vowel(phones) and i == n - 2 and nxt in "lmnt" \
+                    and c != "y":
+                phones.append("IH0" if c == "i" else "AH0")
+                i += 1
+                continue
+            # ... same for -ant/-ent tails (giant, silent, parent)
+            if _has_vowel(phones) and i == n - 3 \
+                    and word.endswith(("ant", "ent")):
+                phones.extend(["AH0", "N", "T"])
+                break
             # long contexts: magic-e position, open syllable (exactly one
-            # consonant then a vowel), or word-final vowel (go, hi, mo-ment)
+            # consonant then a vowel), a consonant + -le tail (table,
+            # title), or word-final vowel (go, hi, mo-ment)
             long_pos = (
-                (silent_final_e and i == n - 3)
+                (magic_e and i == n - 3)
                 or (nxt and nxt not in _VOWEL_LETTERS and nxt in _CONSONANTS
                     and nxt2 in _VOWEL_LETTERS and nxt2 != nxt)
+                or (nxt and nxt in _CONSONANTS and word.startswith("le", i + 2)
+                    and i + 4 == n)
                 or (i == n - 1 and n >= 2 and c in "iou")
             )
+            # i in hiatus before a/o/u: stressed early = /aɪ/ (giant,
+            # lion, quiet), later = /iː/ (radio, period)
+            if c == "i" and nxt in "aou":
+                if i > 0 and word[i - 1] in "lnm" and nxt == "o":
+                    phones.append("Y")  # onion, million, opinion
+                else:
+                    phones.append("AY1" if i <= 2 else "IY0")
+                i += 1
+                continue
             table = _LONG_VOWELS if long_pos else _SHORT_VOWELS
             if c == "y" and i == n - 1 and not silent_final_e:
                 phones.append("IY0" if n > 3 else "AY1")
@@ -221,6 +306,10 @@ def rule_g2p(word: str) -> List[str]:
         elif c == "g":
             # soft g before e/i/y (giant, cage); hard otherwise
             phones.append("JH" if (nxt and nxt in "eiy") else "G")
+        elif c == "l" and i == n - 2 and word[-1] == "e" and i > 0 \
+                and word[i - 1] not in _VOWEL_LETTERS:
+            phones.extend(["AH0", "L"])  # -Cle tail (table, little)
+            break
         elif c == "s" and i == n - 1 and len(word) > 1:
             prev = word[i - 1]
             phones.append("Z" if prev in "bdgvlmnrw" or prev in _VOWEL_LETTERS else "S")

@@ -105,8 +105,11 @@ class Trainer:
             # ONE static shape for the whole val pass: remote compiles cost
             # minutes, so eval_step must not recompile per batch shape
             fixed_shape=True,
-            # sharded eval needs batch % data-axis == 0
-            drop_last=data_size > 1)
+            # the remainder batch is padded to the full batch shape in
+            # evaluate() (all-PAD rows contribute zero loss), so no split
+            # needs drop_last — sharded and single-chip eval see the same
+            # samples
+            drop_last=False)
 
         self.steps_per_epoch = max(1, len(self.train_loader))
         # one schedule object feeds BOTH the optimizer and the logged lr —
@@ -204,39 +207,60 @@ class Trainer:
         if self.val_device_cache is not None:
             # device-resident val set: each eval batch uploads only
             # indices; metric sums accumulate ON DEVICE (an extra
-            # device_get per batch would cost a full relay round each)
+            # device_get per batch would cost a full relay round each).
+            # The final partial batch is padded to the SAME static batch
+            # shape with row_valid=False padding rows — their loss
+            # contribution is exactly zero, so ONE compiled program
+            # evaluates every sample on any mesh (no remainder drop, no
+            # second compile)
             bs = self.train_cfg.batch_size
             s = self.val_device_cache.num_samples
-            data_size = int(self.mesh.shape.get("data", 1))
             order = np.arange(s, dtype=np.int32)
-            n_full = s // bs
+            n_batches = -(-s // bs)
+            pad = n_batches * bs - s
+            if pad:
+                order = np.concatenate([order,
+                                        np.zeros(pad, np.int32)])
+            valid = np.ones(len(order), bool)
+            valid[s:] = False
             acc = None
-            for i in range(n_full):
+            for i in range(n_batches):
+                sl = slice(i * bs, (i + 1) * bs)
+                w = int(valid[sl].sum())
                 metrics = self._cached_eval(self.state.params,
                                             self.val_device_cache.arrays,
-                                            order[i * bs:(i + 1) * bs])
-                metrics = jax.tree.map(lambda m: m * bs, metrics)
+                                            order[sl], valid[sl])
+                metrics = jax.tree.map(lambda m: m * w, metrics)
                 acc = metrics if acc is None else jax.tree.map(
                     jnp.add, acc, metrics)
-                count += bs
-            rem = s - n_full * bs
-            # remainder: one smaller-shape eval — single-chip only, to
-            # mirror the host val loader's drop_last on a sharded mesh
-            if rem and data_size == 1:
-                add(self._cached_eval(self.state.params,
-                                      self.val_device_cache.arrays,
-                                      order[n_full * bs:]), rem)
+                count += w
             if acc is not None:
                 for k, v in jax.device_get(acc).items():
                     sums[k] = sums.get(k, 0.0) + float(v)
             return {k.replace("_loss", ""): v / max(count, 1)
                     for k, v in sums.items()}
 
+        bs = self.train_cfg.batch_size
         for batch in self.val_loader:
             host = {k: v for k, v in batch.items() if k != "text"}
+            real_b = len(batch["text"])
+            if real_b < bs:
+                # pad the remainder batch to the full static shape with
+                # all-PAD rows (masks all True ⇒ zero loss contribution;
+                # attention logits are finitely masked, so the rows stay
+                # finite) — one program shape, works sharded
+                def _pad_rows(v):
+                    padding = np.zeros((bs - real_b,) + v.shape[1:],
+                                       v.dtype)
+                    if v.dtype == bool:
+                        padding[:] = True  # masks: True = pad
+                    return np.concatenate([v, padding], axis=0)
+
+                host = {k: _pad_rows(np.asarray(v))
+                        for k, v in host.items()}
             metrics = self.eval_step(self.state.params,
                                      shard_batch(host, self.mesh))
-            add(metrics, len(batch["text"]))
+            add(metrics, real_b)
         return {k.replace("_loss", ""): v / max(count, 1)
                 for k, v in sums.items()}
 

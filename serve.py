@@ -121,13 +121,19 @@ class DynamicBatcher:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
+    # submit() polls at this granularity so a dead worker thread surfaces
+    # as a 5xx instead of leaving HTTP handler threads blocked forever
+    WAIT_SLICE_SECS = 5.0
+
     def submit(self, text: str):
         done = threading.Event()
         box = {}
         with self._mutex:
             self._pending.append((text, done, box))
         self._wake.set()
-        done.wait()
+        while not done.wait(self.WAIT_SLICE_SECS):
+            if not self._worker.is_alive():
+                raise RuntimeError("synthesis worker died")
         if "error" in box:
             raise box["error"]
         return box["wav"], box["info"]
@@ -151,16 +157,27 @@ class DynamicBatcher:
             try:
                 with self.lock:
                     outs = self.synth.tts_batch(texts)
+                voice_total = sum(info["voice_secs"] for _, info in outs)
                 for (t, done, box), (wav, info) in zip(group, outs):
                     box["wav"] = wav
-                    box["info"] = dict(info, batch_size=len(group),
-                                       rtf=info["voice_secs"]
-                                       / max(info["batch_secs"], 1e-9))
+                    # rtf = this request's share of the batch dispatch;
+                    # batch_rtf = the aggregate throughput of the fused
+                    # dispatch (total voice secs / elapsed) — the number
+                    # that is comparable across batch sizes
+                    box["info"] = dict(
+                        info, batch_size=len(group),
+                        rtf=info["voice_secs"]
+                        / max(info["batch_secs"], 1e-9),
+                        batch_rtf=voice_total
+                        / max(info["batch_secs"], 1e-9))
                     done.set()
-            except Exception as e:  # deliver the failure to every waiter
+            except BaseException as e:  # deliver the failure to every waiter
                 for _, done, box in group:
-                    box["error"] = e
+                    box["error"] = (e if isinstance(e, Exception)
+                                    else RuntimeError(repr(e)))
                     done.set()
+                if not isinstance(e, Exception):
+                    raise
 
 
 def make_handler(synth, lock=None, stream_segment_phonemes=None,
@@ -237,17 +254,29 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None,
                       f"{(time.time() - t0) * 1e3:.1f} ms")
                 return
 
-            if batcher is not None:
-                wav, info = batcher.submit(text)
-            else:
-                with lock:
-                    wav, info = synth.tts(text)
+            try:
+                if batcher is not None:
+                    wav, info = batcher.submit(text)
+                else:
+                    with lock:
+                        wav, info = synth.tts(text)
+            except Exception as e:
+                body = f"synthesis failed: {e}".encode()
+                self.send_response(500)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             payload = wav_bytes(wav, synth.sampling_rate, max_wav)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(len(payload)))
             if "batch_size" in info:
                 self.send_header("X-Batch-Size", str(info["batch_size"]))
+            if "batch_rtf" in info:
+                # aggregate throughput of the fused dispatch; X-RTF is this
+                # request's share of it when X-Batch-Size > 1
+                self.send_header("X-Batch-RTF", f"{info['batch_rtf']:.1f}")
             self.send_header("X-RTF", f"{info['rtf']:.1f}")
             self.send_header("X-Latency-Ms",
                              f"{(time.time() - t0) * 1e3:.1f}")
@@ -283,6 +312,19 @@ def main():
     parser.add_argument("--max-batch", type=int, default=32)
     parser.add_argument("--warmup-text",
                         default="the quick brown fox jumps over the lazy dog")
+    parser.add_argument("--precompile-buckets", default="128,512",
+                        help="comma-separated phoneme buckets to precompile "
+                             "serving programs for (each at its default "
+                             "speculative frame level, for every pow2 batch "
+                             "size up to --max-batch); requests hitting "
+                             "other shapes are routed to the next-larger "
+                             "warm program instead of compiling inline")
+    parser.add_argument("--bg-compile", action="store_true", default=True,
+                        help="compile cold shapes in the background "
+                             "(lower+compile off the serving path) so later "
+                             "requests get the exact program (default on)")
+    parser.add_argument("--no-bg-compile", dest="bg_compile",
+                        action="store_false")
     args = parser.parse_args()
 
     import os
@@ -302,16 +344,54 @@ def main():
         bench_duration_bias=None if args.checkpoint else 6.0)
     print("warming up ...")
     synth.warmup(args.warmup_text, iters=2)
+    # compile the serving-shape ladder up front: every pow2 batch size ×
+    # every configured phoneme bucket (at its default speculative frame
+    # level).  A cold remote compile takes minutes on tunneled TPUs and
+    # stalls every queued request; after this, warm_only routing
+    # guarantees NO request ever compiles inline — an unseen shape is
+    # served by the next-larger warm program (numerically identical;
+    # the extra buffer tail never crosses the link)
+    buckets = [int(x) for x in args.precompile_buckets.split(",") if x]
+    batch_sizes = [1]
     if args.dynamic_batch:
-        # compile every batched program shape up front: tts_batch pads the
-        # batch dim to a power of two, and a cold remote compile takes
-        # minutes on tunneled TPUs — the first concurrent request pair
-        # must not stall the service
         b = 2
         while b <= args.max_batch:
-            print(f"precompiling batch shape {b} ...")
-            synth.tts_batch([args.warmup_text] * b)
+            batch_sizes.append(b)
             b *= 2
+    print(f"precompiling {len(buckets)} buckets x "
+          f"{len(batch_sizes)} batch sizes ...")
+    t0 = time.time()
+    shapes = synth.precompile(buckets=buckets, batch_sizes=batch_sizes)
+    print(f"warm shapes ({time.time() - t0:.1f}s): {shapes}")
+    synth.warm_only = True
+    if args.bg_compile:
+        # exact-shape compiles happen OFF the serving path (lower+compile,
+        # no execution — populates the persistent compile cache); once
+        # done the shape is marked warm and later requests use it
+        import queue
+
+        cold_q = queue.Queue()
+        seen = set()
+
+        def _bg_compile():
+            while True:
+                shape = cold_q.get()
+                try:
+                    print(f"[serve] background-compiling cold shape {shape}")
+                    synth.aot_compile(*shape)
+                    print(f"[serve] shape {shape} now warm")
+                except Exception as e:
+                    print(f"[serve] background compile of {shape} "
+                          f"failed: {e}")
+
+        threading.Thread(target=_bg_compile, daemon=True).start()
+
+        def _on_cold(shape):
+            if shape not in seen:
+                seen.add(shape)
+                cold_q.put(shape)
+
+        synth.on_cold_shape = _on_cold
 
     handler = make_handler(
         synth, stream_segment_phonemes=args.stream_segment_phonemes,

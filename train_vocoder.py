@@ -55,6 +55,9 @@ def main(argv=None):
                         help="override upsample_initial_channel (smaller "
                              "generators for smoke tests)")
     args = parser.parse_args(argv)
+    if args.batch_size % args.data_parallel:
+        parser.error(f"--batch-size ({args.batch_size}) must be divisible "
+                     f"by --data-parallel ({args.data_parallel})")
 
     import jax
     import jax.numpy as jnp
