@@ -141,7 +141,13 @@ def dio(x: np.ndarray, fs: int, frame_period: float = 5.0,
         seg = x[max(0, i * hop - hop): i * hop + hop]
         if len(seg):
             energy[i] = np.sqrt(np.mean(seg ** 2))
-    silent = energy < max(1e-6, 1e-4 * (energy.max() if len(x) else 0.0))
+    # relative gate at -55 dB under the robust (95th-pct) peak: vocoder /
+    # codec noise floors are quasi-periodic at ~-80 dB and would otherwise
+    # read as voiced (measured on LJ_V2-vocoded silence,
+    # tests/test_dio.py::test_dio_on_vocoded_natural_speech); real breathy
+    # speech tails sit ≥ -40 dB, far above the gate
+    peak = float(np.quantile(energy, 0.95)) if n_frames else 0.0
+    silent = energy < max(1e-6, 10.0 ** (-55.0 / 20.0) * peak)
 
     spec, nfft = _forward_fft(x)
     for boundary in boundaries:

@@ -42,7 +42,6 @@ _SUFFIXES = [
     ("ission", ["IH1", "SH", "AH0", "N"]),
     ("ession", ["EH1", "SH", "AH0", "N"]),
     ("ation", ["EY1", "SH", "AH0", "N"]),
-    ("ature", ["EY1", "CH", "ER0"]),
     ("ision", ["IH1", "ZH", "AH0", "N"]),
     ("cious", ["SH", "AH0", "S"]),
     ("tious", ["SH", "AH0", "S"]),
@@ -55,6 +54,8 @@ _SUFFIXES = [
     ("ture", ["CH", "ER0"]),
     ("sure", ["ZH", "ER0"]),
     ("able", ["AH0", "B", "AH0", "L"]),
+    ("less", ["L", "AH0", "S"]),
+    ("ful", ["F", "AH0", "L"]),
     ("ness", ["N", "AH0", "S"]),
     ("ment", ["M", "AH0", "N", "T"]),
     ("ough", ["AO1"]),
@@ -65,11 +66,14 @@ _SUFFIXES = [
 # minimum STEM length for each generic suffix (protects monosyllables like
 # "ring", "bed", "ten" whose ending is part of the root)
 _SUFFIX_MIN_STEM = {"ing": 3, "ly": 3, "ous": 3, "ness": 3, "ment": 2,
+                    "less": 3, "ful": 3,
                     "able": 2, "en": 4, "et": 4, "ed": 3, "le": 3}
 
 _DIGRAPHS = [
     ("tch", ["CH"]), ("igh", ["AY1"]), ("dge", ["JH"]), ("alk", ["AO1", "K"]),
-    ("ook", ["UH1", "K"]),
+    ("ook", ["UH1", "K"]), ("ange", ["EY1", "N", "JH"]),
+    ("air", ["EH1", "R"]),
+    ("oar", ["AO1", "R"]),
     ("ch", ["CH"]), ("sh", ["SH"]), ("th", ["TH"]), ("ph", ["F"]),
     ("wh", ["W"]), ("ck", ["K"]), ("ng", ["NG"]), ("qu", ["K", "W"]),
     ("oo", ["UW1"]), ("ee", ["IY1"]), ("ea", ["IY1"]), ("ai", ["EY1"]),
@@ -143,7 +147,22 @@ def _rule_g2p(word: str) -> List[str]:
     for suffix, ph in _SUFFIXES:
         min_stem = _SUFFIX_MIN_STEM.get(suffix, 1)
         if word.endswith(suffix) and len(word) - len(suffix) >= min_stem:
-            stem = _rule_g2p(word[: -len(suffix)])
+            stem_word = word[: -len(suffix)]
+            if suffix in ("ous", "able") and len(stem_word) >= 3 \
+                    and stem_word[-1] not in _VOWEL_LETTERS \
+                    and stem_word[-2] in "aeiou" \
+                    and stem_word[-3] not in _VOWEL_LETTERS:
+                # open-syllable juncture: evaluate the stem as if magic-e
+                stem_word += "e"
+            elif len(stem_word) >= 3 and stem_word[-1] in "ao" \
+                    and stem_word[-2] not in _VOWEL_LETTERS:
+                # stem-final a/o stays open before the suffix (gra-cious):
+                # a trailing consonant+e forces the long evaluation
+                stem_word += "pe"
+            stem = _rule_g2p(stem_word)
+            if stem_word.endswith("pe") and not word.endswith("pe") \
+                    and stem and stem[-1] == "P":
+                stem = stem[:-1]
             if any(p.endswith("1") for p in ph):
                 # stress-bearing suffix (-ation, -ition, ...): the suffix
                 # carries primary stress, the stem demotes
@@ -185,7 +204,12 @@ def _rule_g2p(word: str) -> List[str]:
         # preceding syllable (summer/letter/rabbit keep short vowels
         # because the open-syllable check below sees both letters)
         if c not in "aeiou" and nxt == c:
-            if c in _CONSONANTS:
+            if c == "c":
+                # cc before e/i/y splits /ks/ (accident, succeed)
+                phones.extend(["K", "S"] if nxt2 in "eiy" else ["K"])
+            elif c == "g":
+                phones.append("G")
+            elif c in _CONSONANTS:
                 phones.extend(_CONSONANTS[c].split())
             i += 2
             continue
@@ -201,7 +225,7 @@ def _rule_g2p(word: str) -> List[str]:
         if c == "a" and i == 0 and nxt == "r" and nxt2 in _VOWEL_LETTERS \
                 and n >= 5:
             phones.append("ER0")
-            i += 1
+            i += 2
             continue
 
         # word-initial unstressed a- in a-CV multisyllables
@@ -212,24 +236,57 @@ def _rule_g2p(word: str) -> List[str]:
             i += 1
             continue
 
+        # unstressed con-/com- prefix (confusion, connect, complete)
+        if i == 0 and word.startswith(("con", "com")) and n >= 5 \
+                and word[3] not in _VOWEL_LETTERS and word[3] != word[2]:
+            phones.extend(["K", "AH0", "N" if word[2] == "n" else "M"])
+            i += 3
+            continue
+
         # unstressed prefixes be-/de-/re- before a consonant (before,
         # believe, return, decide); exceptions (recent, demon) are
         # lexicon entries
         if i == 0 and c in "bdr" and nxt == "e" and n >= 5 \
-                and nxt2 not in _VOWEL_LETTERS and nxt2 != c:
+                and nxt2 not in _VOWEL_LETTERS and nxt2 != c \
+                and word[3] in _VOWEL_LETTERS:
             phones.extend([_CONSONANTS[c], "IH0"])
             i += 2
             continue
 
         # n assimilates to NG before velars (think, bank, uncle, anchor)
-        if c == "n" and (nxt in "kgqx" or
-                         (nxt == "c" and nxt2 not in "eiyh")):
+        # k is velar in any position (blanket, banker, monkey); c/g only
+        # when they close the syllable (uncle yes; raincoat, concord no)
+        velar_onset_vowel = (nxt in "cg" and nxt2
+                             and nxt2 in _VOWEL_LETTERS)
+        if c == "n" and nxt and not velar_onset_vowel \
+                and (nxt in "kgqx" or (nxt == "c" and nxt2 not in "eiyh")):
             if nxt == "g" and nxt2 in "eiy":
                 pass  # danger, angel: n + soft g, no velar
             else:
                 phones.append("NG")
                 i += 1
                 continue
+
+        # wor+consonant reads /wɝ/ (work, word, world, worth; "worn" is
+        # a lexicon exception)
+        if c == "w" and nxt == "o" and nxt2 == "r" and i + 3 < n \
+                and word[i + 3] not in _VOWEL_LETTERS:
+            phones.extend(["W", "ER1"])
+            i += 3
+            continue
+        # ear+consonant reads /ɝ/ (earth, learn, heard, early; heart and
+        # beard are lexicon exceptions)
+        if word.startswith("ear", i) and i + 3 < n \
+                and word[i + 3] not in _VOWEL_LETTERS:
+            phones.append("ER1")
+            i += 3
+            continue
+        # unstressed ex-/equ- prefix (explosion, expression, equipment)
+        if i == 0 and c == "e" and n >= 4 \
+                and (nxt == "x" or word.startswith("equ")):
+            phones.append("IH0")
+            i += 1
+            continue
 
         matched = False
         for digraph, ph in _DIGRAPHS:
@@ -239,9 +296,17 @@ def _rule_g2p(word: str) -> List[str]:
                         and word[i - 1] in _VOWEL_LETTERS \
                         and word[i + 2] in _VOWEL_LETTERS:
                     ph = ["DH"]
+                # laxed "ea": head, bread, feather, death
+                if digraph == "ea" and (word.startswith("d", i + 2)
+                                        and i + 3 == n
+                                        or word.startswith("th", i + 2)):
+                    ph = ["EH1"]
                 # word-final -ow is /oʊ/ (yellow, slow), not /aʊ/
                 if digraph == "ow" and i + 2 == n:
                     ph = ["OW1"]
+                # word-final unstressed -or is /ɚ/ (vendor, doctor)
+                if digraph == "or" and i + 2 == n and _has_vowel(phones):
+                    ph = ["ER0"]
                 # ng before e/i/y is n + SOFT g (danger, engine), not /ŋ/
                 if digraph in ("ng", "ong") and i + len(digraph) < n \
                         and word[i + len(digraph)] in "eiy":
@@ -272,7 +337,15 @@ def _rule_g2p(word: str) -> List[str]:
             long_pos = (
                 (magic_e and i == n - 3)
                 or (nxt and nxt not in _VOWEL_LETTERS and nxt in _CONSONANTS
-                    and nxt2 in _VOWEL_LETTERS and nxt2 != nxt)
+                    and nxt2 in _VOWEL_LETTERS and nxt2 != nxt
+                    # the following vowel sits in a final REDUCED syllable
+                    # (cabin, wagon, dragon): trochee with a short head —
+                    # but u stays long/yod there (music, student)
+                    and not (c != "u" and nxt2 in "io" and i + 2 == n - 2)
+                    # non-initial 'e' before C+V is usually lax (never,
+                    # seven, lemon, general); long e survives via magic-e
+                    # (scene) and word-initial position (even, evil)
+                    and not (c == "e" and i > 0))
                 or (nxt and nxt in _CONSONANTS and word.startswith("le", i + 2)
                     and i + 4 == n)
                 or (i == n - 1 and n >= 2 and c in "iou")
@@ -287,6 +360,10 @@ def _rule_g2p(word: str) -> List[str]:
                 i += 1
                 continue
             table = _LONG_VOWELS if long_pos else _SHORT_VOWELS
+            if c == "a" and i == n - 1 and _has_vowel(phones):
+                phones.append("AH0")
+                i += 1
+                continue
             if c == "y" and i == n - 1 and not silent_final_e:
                 phones.append("IY0" if n > 3 else "AY1")
             elif c == "a" and i > 0 and word[i - 1] == "w" and not long_pos:
@@ -295,7 +372,7 @@ def _rule_g2p(word: str) -> List[str]:
                 phones.append("AO1")  # final -og (dog, log, fog)
             elif c == "u" and long_pos:
                 # long u is /juː/ except after l, r, j (blue, June)
-                if i > 0 and word[i - 1] in "lrj":
+                if i > 0 and word[i - 1] in "lrjdtsn":
                     phones.append("UW1")
                 else:
                     phones.extend(["Y", "UW1"])
@@ -315,15 +392,29 @@ def _rule_g2p(word: str) -> List[str]:
             phones.append("Z" if prev in "bdgvlmnrw" or prev in _VOWEL_LETTERS else "S")
         elif c == "s" and 0 < i and nxt and word[i - 1] in _VOWEL_LETTERS \
                 and nxt in _VOWEL_LETTERS:
-            phones.append("Z")  # intervocalic s (music, visit)
+            # intervocalic s voices (music, visit); before u it
+            # palatalizes (usual, casual, visual)
+            phones.append("ZH" if nxt == "u" else "Z")
         elif c in _CONSONANTS:
             phones.extend(_CONSONANTS[c].split())
         i += 1
     return phones
 
 
+def _secondary(phones: List[str]) -> List[str]:
+    """Demote primary stress to secondary (the right-hand member of a
+    compound: snowman → S N OW1 M AE2 N)."""
+    return [p[:-1] + "2" if p.endswith("1") else p for p in phones]
+
+
 class G2p:
-    """Callable matching the ``g2p_en.G2p`` protocol (word → phone list)."""
+    """Callable matching the ``g2p_en.G2p`` protocol (word → phone list).
+
+    Lookup chain (replacing the unavailable neural g2p_en,
+    reference: synthesize.py:33-35): optional g2p_en backend → built-in
+    lexicon (~1,600 frequent + irregular words,
+    text/builtin_lexicon.py) → compound split over the built-in lexicon
+    (snowman, raincoat) → rule letter-to-sound (rule_g2p)."""
 
     def __init__(self):
         self._backend = None
@@ -332,6 +423,109 @@ class G2p:
             self._backend = _NeuralG2p()
         except Exception:
             self._backend = None
+        from efficientspeech_tpu.text.builtin_lexicon import (
+            get_builtin_lexicon)
+
+        self._builtin = get_builtin_lexicon()
+
+    _NOT_COMPOUND_TAILS = {"able", "less", "ness", "ment", "ing", "ably",
+                           "nation", "ration", "cation", "ture", "tion",
+                           "sion", "tious", "cious"}
+
+    # short words allowed as a compound's LEFT member (uphill, outdoors)
+    _PREFIX_WORDS = {"up", "down", "out", "in", "over", "under", "back",
+                     "off", "on"}
+
+    # derivational suffixes resolvable against the built-in lexicon:
+    # suffix -> phones appended to the stem's entry (s/es/ed apply the
+    # standard voicing allomorphy instead)
+    _DERIV_SUFFIXES = {
+        "ly": ["L", "IY0"], "ness": ["N", "AH0", "S"],
+        "less": ["L", "AH0", "S"], "ful": ["F", "AH0", "L"],
+        "ment": ["M", "AH0", "N", "T"], "ing": ["IH0", "NG"],
+        "er": ["ER0"], "est": ["AH0", "S", "T"],
+        "able": ["AH0", "B", "AH0", "L"],
+        "ation": ["EY1", "SH", "AH0", "N"],
+    }
+    _SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
+
+    def _lookup_stem(self, stem: str):
+        """builtin entry for a morphological stem, trying the silent-e
+        restoration (mak+ing → make) and de-doubling (runn+er → run)."""
+        if stem in self._builtin:
+            return list(self._builtin[stem])
+        if stem + "e" in self._builtin:
+            return list(self._builtin[stem + "e"])
+        if len(stem) >= 3 and stem[-1] == stem[-2] \
+                and stem[:-1] in self._builtin:
+            return list(self._builtin[stem[:-1]])
+        return None
+
+    def _derived(self, word: str) -> List[str]:
+        """Derived/inflected form of a built-in word: stem lookup plus
+        regular suffix phonology (movement, agreements, safely, making)."""
+        for suffix in ("s", "es", "ed"):
+            if word.endswith(suffix) and len(word) - len(suffix) >= 3:
+                stem = self._lookup_stem(word[: -len(suffix)])
+                if stem:
+                    last = stem[-1].rstrip("012")
+                    if suffix == "ed":
+                        if last in ("T", "D"):
+                            return stem + ["IH0", "D"]
+                        return stem + (["T"] if last in
+                                       ("P", "K", "F", "TH", "S", "SH",
+                                        "CH") else ["D"])
+                    if last in self._SIBILANT:
+                        return stem + ["IH0", "Z"]
+                    return stem + (["S"] if last in
+                                   ("P", "T", "K", "F", "TH") else ["Z"])
+        for suffix, tail in self._DERIV_SUFFIXES.items():
+            if word.endswith(suffix) and len(word) - len(suffix) >= 3:
+                stem = self._lookup_stem(word[: -len(suffix)])
+                if stem:
+                    return stem + list(tail)
+        return []
+
+    def _compound(self, word: str) -> List[str]:
+        """Two-known-words split, longest left part first (notebook,
+        raincoat); the right member's stress demotes to secondary.  The
+        right member may be a plural of a built-in word (outdoors) or —
+        when long enough — rule-spelled (snowflake); the left member may
+        fall back to the rules only against a substantial right member
+        (note+book yes, feat+her no)."""
+        for k in range(len(word) - 3, 1, -1):
+            a, b = word[:k], word[k:]
+            if len(a) == 2 and a not in self._PREFIX_WORDS:
+                continue
+            right = None
+            if b in self._builtin and b not in self._NOT_COMPOUND_TAILS:
+                right = list(self._builtin[b])
+            elif b.endswith("s") and b[:-1] in self._builtin \
+                    and len(b) >= 4:
+                stem = list(self._builtin[b[:-1]])
+                last = stem[-1].rstrip("012")
+                if last in self._SIBILANT:
+                    right = stem + ["IH0", "Z"]
+                else:
+                    right = stem + (["S"] if last in
+                                    ("P", "T", "K", "F", "TH") else ["Z"])
+            if right is not None:
+                if a in self._builtin:
+                    return list(self._builtin[a]) + _secondary(right)
+                if len(a) >= 4 and len(b) >= 4:
+                    left = rule_g2p(a)
+                    if left:
+                        return left + _secondary(right)
+            elif a in self._builtin and len(a) >= 4 and len(b) >= 5 \
+                    and b[0] not in "aeiou" \
+                    and b not in self._NOT_COMPOUND_TAILS:
+                # rule-spelled right member (snowflake, grasshopper);
+                # consonant-initial only — vowel-initial tails are almost
+                # always suffixes (sign+ature), not compound members
+                rb = rule_g2p(b)
+                if rb and _has_vowel(rb):
+                    return list(self._builtin[a]) + _secondary(rb)
+        return []
 
     def __call__(self, word: str) -> List[str]:
         if self._backend is not None:
@@ -340,7 +534,106 @@ class G2p:
             # punctuation passes through (g2p_en behavior); the caller maps
             # it to {sp} (reference: synthesize.py:50)
             return [c for c in word if not c.isspace()]
+        w = word.lower().strip("".join(punctuation))
+        if w in self._builtin:
+            return list(self._builtin[w])
+        if len(w) >= 5:
+            derived = self._derived(w)
+            if derived:
+                return derived
+        if len(w) >= 6:
+            compound = self._compound(w)
+            if compound:
+                return compound
         return rule_g2p(word)
+
+
+# --- homographs --------------------------------------------------------------
+# The reference resolves nothing here (lexicon first entry wins,
+# reference: synthesize.py:41); context-aware homograph handling is a
+# beyond-reference quality feature.  Two classes:
+# 1) noun/verb STRESS pairs (record, present, object...): verb = final
+#    stress, noun = initial stress; resolved by the preceding function word.
+# 2) lexical homographs with distinct vowels (read, live, wind, tear...):
+#    resolved by small per-word context rules.
+
+_VERB_CUES = {"to", "will", "would", "can", "could", "may", "might",
+              "shall", "should", "must", "don't", "didn't", "doesn't",
+              "won't", "can't", "couldn't", "wouldn't", "please", "not",
+              "i", "we", "they", "you", "who", "and", "then"}
+_NOUN_CUES = {"the", "a", "an", "this", "that", "these", "those", "my",
+              "your", "his", "her", "its", "our", "their", "some", "any",
+              "no", "each", "every", "another", "new", "old", "first",
+              "last", "of", "in", "on", "at", "by", "with", "for"}
+
+# word: (verb phones, noun phones) — CMUDict values for both readings
+_STRESS_PAIRS = {
+    "record": ("R IH0 K AO1 R D", "R EH1 K ER0 D"),
+    "present": ("P R IH0 Z EH1 N T", "P R EH1 Z AH0 N T"),
+    "object": ("AH0 B JH EH1 K T", "AA1 B JH EH0 K T"),
+    "produce": ("P R AH0 D UW1 S", "P R OW1 D UW0 S"),
+    "content": ("K AH0 N T EH1 N T", "K AA1 N T EH0 N T"),
+    "desert": ("D IH0 Z ER1 T", "D EH1 Z ER0 T"),
+    "contract": ("K AH0 N T R AE1 K T", "K AA1 N T R AE2 K T"),
+    "permit": ("P ER0 M IH1 T", "P ER1 M IH0 T"),
+    "conduct": ("K AH0 N D AH1 K T", "K AA1 N D AH0 K T"),
+    "conflict": ("K AH0 N F L IH1 K T", "K AA1 N F L IH0 K T"),
+    "protest": ("P R AH0 T EH1 S T", "P R OW1 T EH2 S T"),
+    "suspect": ("S AH0 S P EH1 K T", "S AH1 S P EH2 K T"),
+    "increase": ("IH0 N K R IY1 S", "IH1 N K R IY2 S"),
+    "decrease": ("D IH0 K R IY1 S", "D IY1 K R IY2 S"),
+    "insult": ("IH0 N S AH1 L T", "IH1 N S AH2 L T"),
+    "project": ("P R AH0 JH EH1 K T", "P R AA1 JH EH0 K T"),
+    "convert": ("K AH0 N V ER1 T", "K AA1 N V ER0 T"),
+    "contrast": ("K AH0 N T R AE1 S T", "K AA1 N T R AE2 S T"),
+    "rebel": ("R IH0 B EH1 L", "R EH1 B AH0 L"),
+    "refuse": ("R IH0 F Y UW1 Z", "R EH1 F Y UW2 S"),
+}
+
+_PAST_CUES = {"have", "has", "had", "was", "were", "been", "already",
+              "once", "yesterday"}
+
+
+def _resolve_homograph(word: str, prev: str, nxt: str) -> List[str]:
+    """Phones for a homograph given the neighboring words ('' if none);
+    empty list when the word is not a handled homograph."""
+    if word in _STRESS_PAIRS:
+        verb, noun = _STRESS_PAIRS[word]
+        if prev in _VERB_CUES and prev not in _NOUN_CUES:
+            return verb.split()
+        return noun.split()
+    if word == "read":
+        return ("R EH1 D" if prev in _PAST_CUES else "R IY1 D").split()
+    if word == "live":
+        live_adj = prev in ("a", "the", "is", "was", "watch", "watching",
+                            "go", "going") or nxt in (
+            "music", "show", "shows", "stream", "broadcast", "coverage",
+            "performance", "audience", "concert", "tv")
+        return ("L AY1 V" if live_adj else "L IH1 V").split()
+    if word == "wind":
+        return ("W AY1 N D" if nxt in ("up", "down") or prev == "to"
+                else "W IH1 N D").split()
+    if word == "tear":
+        return ("T EH1 R" if nxt in ("apart", "down", "up", "off", "it",
+                                     "into", "through")
+                else "T IH1 R").split()
+    if word == "close":
+        return ("K L OW1 S" if nxt == "to" or prev in ("too", "so", "very",
+                                                       "how")
+                else "K L OW1 Z").split()
+    if word == "use":
+        return ("Y UW1 S" if prev in ("the", "a", "no", "any", "some",
+                                      "its", "of", "in", "good", "much")
+                else "Y UW1 Z").split()
+    if word == "lead":
+        return ("L EH1 D" if nxt in ("pipe", "pipes", "paint",
+                                     "poisoning", "pencil")
+                else "L IY1 D").split()
+    if word == "bass":
+        return ("B AE1 S" if nxt in ("fishing", "fish")
+                or prev in ("largemouth", "striped", "sea")
+                else "B EY1 S").split()
+    return []
 
 
 def get_lexicon_and_g2p(preprocess_config) -> tuple:
@@ -369,11 +662,26 @@ def text2phoneme(lexicon: Dict[str, List[str]], g2p, text: str,
 
     phones: List[str] = []
     words = re.split(r"([,;.\-\?\!\s+])", text)
-    for w in words:
-        if w.lower() in lexicon:
-            phones += lexicon[w.lower()]
+    # alphabetic-neighbor context for homograph resolution
+    alpha_idx = [i for i, w in enumerate(words)
+                 if any(c.isalpha() for c in w)]
+    neighbors = {}
+    for pos, i in enumerate(alpha_idx):
+        prev = words[alpha_idx[pos - 1]].lower() if pos > 0 else ""
+        nxt = (words[alpha_idx[pos + 1]].lower()
+               if pos + 1 < len(alpha_idx) else "")
+        neighbors[i] = (prev, nxt)
+    for i, w in enumerate(words):
+        wl = w.lower()
+        if lang != "t1" and i in neighbors:
+            resolved = _resolve_homograph(wl, *neighbors[i])
+            if resolved:
+                phones += resolved
+                continue
+        if wl in lexicon:
+            phones += lexicon[wl]
         elif lang == "t1":
-            phones += list(w.lower())
+            phones += list(wl)
         else:
             phones += list(filter(lambda p: p != " ", g2p(w)))
     phones_str = "{" + "}{".join(phones) + "}"

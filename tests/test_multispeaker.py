@@ -114,3 +114,23 @@ def test_batch_carries_speaker_ids(preprocessed_corpus=None):
         ds = LJSpeechDataset("train.txt", cfg)
         assert ds.n_speakers == 2
         np.testing.assert_array_equal(ds.speaker_id, [1, 0])
+
+
+def test_multispeaker_convergence_and_divergence(tmp_path):
+    """End-to-end proof the speaker conditioning WORKS (VERDICT round-2
+    next #8): a 2-speaker corpus (130 Hz vs 240 Hz fundamentals) through
+    the real preprocess → train → predict pipeline; val loss converges and
+    the same text predicted as each speaker separates in pitch in the
+    right direction (full 400-step numbers in STATUS / the demo script:
+    val loss 49.7 → 9.6, pitch -1.07σ vs +0.97σ)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "multispeaker_demo",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "multispeaker_demo.py"))
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+    assert demo.run(str(tmp_path / "mspk"), steps=200, batch_size=8,
+                    utts_per_speaker=10)
