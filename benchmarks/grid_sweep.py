@@ -78,10 +78,11 @@ def main():
         arrays, meta = fold_hifigan_device(params, cfg, dtype=jnp.bfloat16,
                                            d_target=dt)
         gflop = plan_flops(arrays, t, meta, cfg) / 1e9
-        use_pallas = mode == "pallas"
+        use_pallas = mode.startswith("pallas")
+        fuse_k = mode == "pallasfk"
 
         def make(n_iters, arrays=arrays, meta=meta, use_pallas=use_pallas,
-                 tm=tm):
+                 tm=tm, fuse_k=fuse_k):
             @jax.jit
             def chain(mel, vl, seed):
                 def body(i, c):
@@ -89,7 +90,8 @@ def main():
                     wav = folded_plan_apply(
                         arrays, meta, cfg, m, valid_len=vl,
                         dtype=jnp.bfloat16, use_pallas=use_pallas,
-                        pallas_tm=tm if tm else 512)
+                        pallas_tm=tm if tm else 512,
+                        pallas_fuse_k=fuse_k)
                     return c + wav[0, 0] + wav[0, -1]
                 return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
             return chain
@@ -108,10 +110,12 @@ def main():
         results[label] = (ms, gflop)
         # one numerics probe per variant (same seeded perturbation)
         single = jax.jit(lambda m, v, arrays=arrays, meta=meta,
-                         use_pallas=use_pallas, tm=tm: folded_plan_apply(
+                         use_pallas=use_pallas, tm=tm, fuse_k=fuse_k:
+                         folded_plan_apply(
                              arrays, meta, cfg, m, valid_len=v,
                              dtype=jnp.bfloat16, use_pallas=use_pallas,
-                             pallas_tm=tm if tm else 512))
+                             pallas_tm=tm if tm else 512,
+                             pallas_fuse_k=fuse_k))
         outputs[label] = np.asarray(jax.device_get(single(mel, vl)))
         eff = gflop / ms * 1e3 / 1e3  # TFLOP/s
         print(f"  {label}: {ms:.2f} ms  ({gflop:.0f} GFLOP, "

@@ -33,6 +33,12 @@ def main():
     parser.add_argument("--transfer", default="adpcm4")
     parser.add_argument("--text", default=BENCH_TEXT)
     parser.add_argument("--batch-window-ms", type=float, default=8.0)
+    parser.add_argument("--cold-shape", action="store_true",
+                        help="inject requests at an UNWARMED (bucket, "
+                             "spec) shape mid-run: with warm_only routing "
+                             "they ride the next-larger warm program, so "
+                             "p99 must not blow up to remote-compile time "
+                             "(round-3 VERDICT next #7)")
     args = parser.parse_args()
 
     from efficientspeech_tpu.utils.cache import enable_compilation_cache
@@ -60,6 +66,10 @@ def main():
     while b <= max(32, args.clients):
         synth.tts_batch([args.text] * b)
         b *= 2
+    if args.cold_shape:
+        # serving mode: cold shapes route to the next-larger warm program
+        # instead of compiling inline (Synthesizer._route_warm)
+        synth.warm_only = True
 
     lock = threading.Lock()
     handler = make_handler(synth, lock=lock, dynamic_batch=True,
@@ -84,14 +94,23 @@ def main():
     batch_sizes = []
     lat_lock = threading.Lock()
 
+    # a SHORT text maps to a different (bucket, spec) shape that was never
+    # precompiled — the cold-shape scenario's probe
+    cold_url = (f"http://127.0.0.1:{args.port}/tts?text=" +
+                quote("a short cold shape probe"))
+    cold_lat = []
+
     def client(ci):
-        for _ in range(args.requests):
+        for ri in range(args.requests):
+            cold = (args.cold_shape and ci < 4 and
+                    ri == args.requests // 2)
             t0 = time.time()
-            with urllib.request.urlopen(url, timeout=600) as r:
+            with urllib.request.urlopen(cold_url if cold else url,
+                                        timeout=600) as r:
                 r.read()
                 bs = r.headers.get("X-Batch-Size")
             with lat_lock:
-                lat.append(time.time() - t0)
+                (cold_lat if cold else lat).append(time.time() - t0)
                 if bs:
                     batch_sizes.append(int(bs))
 
@@ -105,9 +124,14 @@ def main():
     wall = time.time() - t0
     server.shutdown()
 
-    n = args.clients * args.requests
+    n = len(lat)
     served_audio = n * voice_secs
     lat_ms = np.array(lat) * 1e3
+    if cold_lat:
+        cl = np.array(cold_lat) * 1e3
+        print(f"cold-shape requests: {len(cold_lat)}, latency p50 "
+              f"{np.percentile(cl, 50):.0f} ms max {cl.max():.0f} ms "
+              f"(must be request-scale, not compile-scale)", flush=True)
     print(f"aggregate: {n} requests in {wall:.2f} s -> "
           f"served RTF {served_audio / wall:.1f}", flush=True)
     print(f"latency ms: p50 {np.percentile(lat_ms, 50):.0f}  "

@@ -130,7 +130,7 @@ class PreprocessConfig:
 
     dataset: str = "LJSpeech"
     corpus_path: str = "/data/tts/LJSpeech-1.1"
-    lexicon_path: str = "lexicon/librispeech-lexicon.txt"
+    lexicon_path: str = "lexicon/builtin-en.txt"
     raw_path: str = "/data/tts/LJSpeech-1.1/wavs"
     preprocessed_path: str = "./preprocessed_data/LJSpeech"
     val_size: int = 512

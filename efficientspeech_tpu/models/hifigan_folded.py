@@ -158,11 +158,20 @@ def _scatter_fold(w_kio: jnp.ndarray, bias: jnp.ndarray, entries, w: int,
     return W, b
 
 
-def make_grid_plan(cfg: HifiGanConfig, d_target: int = 512):
+# Default folded width: the MINIMUM-lane grid.  Polyphase folding
+# inflates FLOPs by ≈ (2w+1)·g/k per op, and minimizing taps·g per op
+# lands on g = 128/C for (almost) every op — measured on the chip at the
+# 3072-frame serving shape: d128 419 GFLOP / 3.96 ms vs d512 1225 GFLOP /
+# 8.77 ms with the fused kernel (benchmarks/grid_sweep.py, round 3).
+D_TARGET_DEFAULT = 128
+
+
+def make_grid_plan(cfg: HifiGanConfig, d_target: int = D_TARGET_DEFAULT):
     """Per-stage polyphase grid: g_s samples per folded row, chosen so
     D = C_s * g_s ≈ d_target.  A uniform full fold (g_s = cumulative rate)
-    puts stages 1-3 at D=2048 with ≥3-row windows — ~4× the FLOPs of a
-    d_target=512 grid, where late stages shrink to 1-row windows.
+    puts stages 1-3 at D=2048 with ≥3-row windows; d_target=128 (default)
+    is the measured FLOP-optimal grid (see D_TARGET_DEFAULT above — the
+    windowed-concat XLA path prefers 512, the fused kernel 128).
     Returns per-stage (g, rows_per_mel_frame) and the post-upsample row
     split factors."""
     ch, rate = [], []
@@ -183,7 +192,7 @@ def make_grid_plan(cfg: HifiGanConfig, d_target: int = 512):
 
 
 def fold_hifigan_device(params: Dict, cfg: HifiGanConfig, dtype=jnp.bfloat16,
-                        d_target: int = 512):
+                        d_target: int = D_TARGET_DEFAULT):
     """One jitted program: generator params → folded weights, entirely on
     device (only the small original kernels cross the host link).
 
@@ -288,7 +297,8 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
                       dtype=jnp.bfloat16,
                       use_pallas: bool = False,
                       interpret: bool = False,
-                      pallas_tm: int = 512) -> jnp.ndarray:
+                      pallas_tm: int = 512,
+                      pallas_fuse_k: bool = False) -> jnp.ndarray:
     """Run the re-gridded folded generator.  ``arrays``/``meta`` from
     fold_hifigan_device.  Exactly equivalent to HifiGanGenerator with
     row-level (frame-aligned) masking.
@@ -327,7 +337,7 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
                                 residual=None if residual is None
                                 else residual[0],
                                 pre_lrelu=pre_lrelu, lrelu_slope=slope,
-                                tm=pallas_tm,
+                                tm=pallas_tm, fuse_k=pallas_fuse_k,
                                 interpret=interpret)[None]
         else:
             src = inp

@@ -17,6 +17,12 @@ conv of the resblock chain.
 
 Grid: (T/TM, D_out/TN); x is pre-padded by w rows on each side so halo DMAs
 stay in bounds.
+
+Measured configuration notes (round 3, benchmarks/grid_sweep.py, d128 plan
+at 3,072 frames): tm=512 is fastest (3.96 ms vs 6.55 at tm=256, 4.65 at
+tm=1024); the ``fuse_k`` variant (materialize the window in VMEM, one
+deep-K dot) is ~5% SLOWER at tm=512 (4.18 ms) and ~7% faster at tm=256 —
+kept for other shapes, default off.
 """
 
 from typing import Optional
@@ -34,7 +40,7 @@ def _round8(x):
 
 
 def _make_kernel(n_win, tm, d_in, pre_lrelu, has_residual, out_dtype,
-                 lrelu_slope=LRELU_SLOPE):
+                 lrelu_slope=LRELU_SLOPE, fuse_k=False):
     # Mosaic requires DMA slice lengths 8-aligned on the sublane dim
     slice_rows = _round8(tm + n_win - 1)
 
@@ -45,35 +51,65 @@ def _make_kernel(n_win, tm, d_in, pre_lrelu, has_residual, out_dtype,
             (o_ref,) = rest
         i = pl.program_id(0)
 
-        def body(xs_ref, sem):
-            cp = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(i * tm, slice_rows), :], xs_ref, sem)
-            cp.start()
-            cp.wait()
-
-            acc = jnp.zeros((tm, o_ref.shape[1]), jnp.float32)
-            for j in range(n_win):
-                xs = xs_ref[j: j + tm, :]
-                if pre_lrelu:
-                    # max/min form: Mosaic has no bf16 vector compare
-                    xs = (jnp.maximum(xs, 0)
-                          + jnp.minimum(xs, 0) * lrelu_slope)
-                acc += jnp.dot(xs, w_ref[j * d_in: (j + 1) * d_in, :],
-                               preferred_element_type=jnp.float32)
+        def epilogue(acc):
             acc += b_ref[0, :].astype(jnp.float32)
             if has_residual:
                 acc += res_ref[:].astype(jnp.float32)
-
             valid = valid_ref[0]
             rows = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0) + i * tm
             acc = jnp.where(rows < valid, acc, 0.0)
             o_ref[:] = acc.astype(out_dtype)
 
-        pl.run_scoped(
-            body,
-            pltpu.VMEM((slice_rows, d_in), x_hbm.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        )
+        def activate_in_place(xs_ref):
+            # ONE pass over the tile incl. halo rows (the tap loop used to
+            # recompute it per shifted read); max/min form: Mosaic has no
+            # bf16 vector compare
+            if pre_lrelu:
+                xs = xs_ref[:]
+                xs_ref[:] = (jnp.maximum(xs, 0)
+                             + jnp.minimum(xs, 0) * lrelu_slope)
+
+        def body(xs_ref, sem):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * tm, slice_rows), :], xs_ref, sem)
+            cp.start()
+            cp.wait()
+            activate_in_place(xs_ref)
+
+            acc = jnp.zeros((tm, o_ref.shape[1]), jnp.float32)
+            for j in range(n_win):
+                acc += jnp.dot(xs_ref[j: j + tm, :],
+                               w_ref[j * d_in: (j + 1) * d_in, :],
+                               preferred_element_type=jnp.float32)
+            epilogue(acc)
+
+        def body_fused_k(xs_ref, xw_ref, sem):
+            # materialize the window ONCE in VMEM, then a single deep-K
+            # dot: one MXU pass with internal accumulation instead of
+            # n_win read-modify-write passes over the f32 accumulator
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * tm, slice_rows), :], xs_ref, sem)
+            cp.start()
+            cp.wait()
+            activate_in_place(xs_ref)
+            for j in range(n_win):
+                xw_ref[:, j * d_in: (j + 1) * d_in] = xs_ref[j: j + tm, :]
+            epilogue(jnp.dot(xw_ref[:], w_ref[:],
+                             preferred_element_type=jnp.float32))
+
+        if fuse_k:
+            pl.run_scoped(
+                body_fused_k,
+                pltpu.VMEM((slice_rows, d_in), x_hbm.dtype),
+                pltpu.VMEM((tm, n_win * d_in), x_hbm.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            )
+        else:
+            pl.run_scoped(
+                body,
+                pltpu.VMEM((slice_rows, d_in), x_hbm.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            )
 
     return kernel
 
@@ -84,6 +120,7 @@ def folded_matmul(x: jnp.ndarray, W: jnp.ndarray, b: jnp.ndarray, w: int,
                   pre_lrelu: bool = False,
                   lrelu_slope: float = LRELU_SLOPE,
                   tm: int = 256, tn: int = 512,
+                  fuse_k: bool = False,
                   interpret: bool = False) -> jnp.ndarray:
     """x (T, D_in) frame-rate activations → (T, D_out).
 
@@ -114,7 +151,7 @@ def folded_matmul(x: jnp.ndarray, W: jnp.ndarray, b: jnp.ndarray, w: int,
         residual = jnp.pad(residual, ((0, t_pad - t), (0, 0)))
 
     kernel = _make_kernel(n_win, tm, d_in, pre_lrelu, has_res, x.dtype,
-                          lrelu_slope=lrelu_slope)
+                          lrelu_slope=lrelu_slope, fuse_k=fuse_k)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),                # x (HBM, DMA'd)

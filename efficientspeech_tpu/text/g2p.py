@@ -23,6 +23,8 @@ def read_lexicon(lex_path: str) -> Dict[str, List[str]]:
     lexicon: Dict[str, List[str]] = {}
     with open(lex_path) as f:
         for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
             temp = re.split(r"\s+", line.strip("\n"))
             word = temp[0]
             phones = temp[1:]

@@ -121,12 +121,16 @@ def test_folded_generator_real_weights():
 
 
 def test_plan_apply_regridded_matches_conv_generator():
-    """Per-stage re-gridded fold (D≈512 everywhere) == conv generator."""
+    """Per-stage re-gridded fold == conv generator, at both the default
+    minimum-lane grid (D=128, the round-3 FLOP-optimal plan) and the
+    round-2 D=512 grid."""
     from efficientspeech_tpu.models.hifigan_folded import (
         fold_hifigan_device, folded_plan_apply, make_grid_plan)
 
-    cfg = HifiGanConfig()  # real dims: channels 64/32/16/8 → g 8/16/32/64
-    ch, rate, g, rpf = make_grid_plan(cfg)
+    cfg = HifiGanConfig()  # real dims: channels 64/32/16/8
+    ch, rate, g, rpf = make_grid_plan(cfg)          # default d128
+    assert g == [2, 4, 8, 16] and rpf == [4, 16, 16, 16]
+    ch, rate, g, rpf = make_grid_plan(cfg, d_target=512)
     assert g == [8, 16, 32, 64] and rpf == [1, 4, 4, 4]
 
     gen = HifiGanGenerator(cfg)
@@ -148,4 +152,10 @@ def test_plan_apply_regridded_matches_conv_generator():
                               dtype=jnp.float32, use_pallas=True,
                               interpret=True)
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # fused-K kernel variant (single deep-K dot)
+    got_fk = folded_plan_apply(arrays, meta, cfg, jnp.asarray(mel), vl,
+                               dtype=jnp.float32, use_pallas=True,
+                               interpret=True, pallas_fuse_k=True)
+    np.testing.assert_allclose(np.asarray(got_fk), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
