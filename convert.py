@@ -11,9 +11,13 @@ Modes:
       --export tiny_eng.stablehlo --insize 128
 
   # native/converted params → .onnx (the reference's interchange format;
-  # routed through the reference torch modules, reference: convert.py:35-42)
+  # traced from the vendored torch mirror, reference: convert.py:35-42)
   python convert.py --checkpoint tiny_eng_266k.ckpt --preset tiny \
       --onnx tiny_eng.onnx --insize 128
+
+  # native/converted params → traced TorchScript (reference: convert.py:43-48)
+  python convert.py --checkpoint tiny_eng_266k.ckpt --preset tiny \
+      --torchscript tiny_eng.pt --insize 128
 """
 
 import argparse
@@ -36,6 +40,9 @@ def main():
                         help="write a .onnx (traced from the vendored "
                              "torch mirror — standalone; reference --onnx)")
     parser.add_argument("--onnx-opset", type=int, default=17)
+    parser.add_argument("--torchscript", default=None,
+                        help="write a traced TorchScript module (vendored "
+                             "torch mirror; reference convert.py:43-48)")
     parser.add_argument("--insize", type=int, default=128,
                         help="fixed phoneme length for export "
                              "(reference --onnx-insize)")
@@ -79,6 +86,15 @@ def main():
                            args.onnx, insize=args.insize,
                            opset=args.onnx_opset)
         print(f"wrote ONNX model ({size} bytes) to {args.onnx}")
+
+    if args.torchscript:
+        from efficientspeech_tpu.convert.onnx_export import export_torchscript
+
+        size = export_torchscript(synth.params, synth.cfg,
+                                  synth.hifigan_cfg, args.torchscript,
+                                  insize=args.insize)
+        print(f"wrote TorchScript module ({size} bytes) to "
+              f"{args.torchscript}")
 
 
 if __name__ == "__main__":

@@ -153,3 +153,22 @@ def export_onnx(params, cfg: ModelConfig, hifigan_cfg: HifiGanConfig,
             dynamic_axes={"inputs": {1: "phoneme"}},
             dynamo=False)
     return os.path.getsize(path)
+
+
+def export_torchscript(params, cfg: ModelConfig, hifigan_cfg: HifiGanConfig,
+                       path: str, insize: int = 128) -> int:
+    """Write a traced TorchScript module (reference: convert.py:43-48) from
+    the vendored torch mirror — fixed ``insize`` like the reference's jit
+    export; returns the file size in bytes."""
+    import os
+
+    import torch
+
+    from efficientspeech_tpu.convert.torch_modules import build_export_model
+
+    model = build_export_model(params, cfg, hifigan_cfg)
+    phoneme = torch.randint(low=70, high=146, size=(1, insize)).int()
+    with torch.no_grad():
+        traced = torch.jit.trace(model, (phoneme,))
+    traced.save(path)
+    return os.path.getsize(path)

@@ -122,3 +122,32 @@ def test_vendored_model_matches_jax_pipeline():
     n = min(len(wav_j), wav_t.shape[1])
     np.testing.assert_allclose(wav_t.numpy()[0, :n], wav_j[:n],
                                rtol=1e-3, atol=2e-4)
+
+
+def test_torchscript_export(tmp_path):
+    """Traced TorchScript module loads back and reproduces the vendored
+    model's output (reference convert.py:43-48 analogue)."""
+    import torch
+
+    from efficientspeech_tpu.convert.onnx_export import export_torchscript
+    from efficientspeech_tpu.convert.torch_modules import build_export_model
+    from efficientspeech_tpu.infer import build_synthesizer
+
+    h_cfg = HifiGanConfig(**SMALL_HIFIGAN)
+    synth = build_synthesizer(preset="tiny", hifigan_checkpoint="",
+                              dtype=jnp.float32, bench_duration_bias=4.0)
+    params = dict(synth.params)
+    params["hifigan"] = _params(h_cfg)
+
+    out = str(tmp_path / "tiny.pt")
+    size = export_torchscript(params, synth.cfg, h_cfg, out, insize=16)
+    assert os.path.isfile(out) and size > 10_000
+
+    loaded = torch.jit.load(out)
+    phoneme = torch.randint(70, 146, (1, 16), generator=torch.Generator()
+                            .manual_seed(3)).int()
+    with torch.no_grad():
+        w1, l1, d1 = loaded(phoneme)
+        w2, l2, d2 = build_export_model(params, synth.cfg, h_cfg)(phoneme)
+    assert int(l1[0]) == int(l2[0])
+    np.testing.assert_allclose(w1.numpy(), w2.numpy(), atol=1e-6)
