@@ -19,6 +19,11 @@ class MelDecoder(nn.Module):
     cfg: ModelConfig
     ref_pad_semantics: bool = False
     dtype: jnp.dtype = jnp.float32
+    # route the frame-rate LayerNorms through the fused Pallas fwd+bwd
+    # kernel (exact semantics; the backward recomputes stats) — the
+    # training-step bisection found XLA's LN backward dominates the step
+    fused_norm: bool = False
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, features: jnp.ndarray,
@@ -37,9 +42,12 @@ class MelDecoder(nn.Module):
         padding = k // 2
         native = not self.ref_pad_semantics
 
+        norm = lambda name: LayerNorm(dtype=self.dtype, name=name,
+                                      fused=self.fused_norm,
+                                      fused_interpret=self.fused_interpret)
         x = Linear(dim_x2, dtype=self.dtype, name="proj_linear")(features)
         x = jnp.tanh(x)
-        skip = LayerNorm(dtype=self.dtype, name="proj_norm")(x)
+        skip = norm("proj_norm")(x)
 
         for b in range(cfg.n_blocks):
             x = skip
@@ -52,8 +60,8 @@ class MelDecoder(nn.Module):
                 x = Conv1d(dim_x2, kernel_size=1, dtype=self.dtype,
                            name=f"block{b}_conv{d}_pw")(x)
                 x = jnp.tanh(x)
-                x = LayerNorm(dtype=self.dtype, name=f"block{b}_norm{d}")(x)
-            skip = LayerNorm(dtype=self.dtype, name=f"block{b}_skip_norm")(x + skip)
+                x = norm(f"block{b}_norm{d}")(x)
+            skip = norm(f"block{b}_skip_norm")(x + skip)
 
         return Linear(cfg.n_mel_channels, dtype=self.dtype,
                       name="mel_linear")(skip)

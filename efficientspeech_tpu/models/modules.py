@@ -100,16 +100,31 @@ class ConvTranspose1d(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """torch.nn.LayerNorm over the last dim; eps=1e-5, f32 statistics."""
+    """torch.nn.LayerNorm over the last dim; eps=1e-5, f32 statistics.
+
+    ``fused=True`` (and last dim a multiple of 128) routes through the
+    Pallas fused fwd+bwd kernel (ops/pallas/layer_norm.py) — same
+    semantics, with the backward recomputing statistics instead of
+    spilling f32 activations; ``fused_interpret`` runs the kernel in
+    interpreter mode (CPU tests)."""
 
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,))
         bias = self.param("bias", nn.initializers.zeros, (dim,))
+        if self.fused and dim % 128 == 0:
+            from efficientspeech_tpu.ops.pallas.layer_norm import (
+                layer_norm_fused)
+
+            return layer_norm_fused(x, scale, bias, self.eps,
+                                    512, self.fused_interpret
+                                    ).astype(self.dtype)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)

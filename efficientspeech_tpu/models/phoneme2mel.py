@@ -16,6 +16,14 @@ class Phoneme2Mel(nn.Module):
     cfg: ModelConfig
     ref_pad_semantics: bool = False
     dtype: jnp.dtype = jnp.float32
+    # rematerialize the mel decoder under grad: EXACT same numerics, but
+    # the backward recomputes the (cheap, 2.9 ms) forward instead of
+    # spilling every frame-rate intermediate — measured 11.0 → 7.5 ms
+    # decoder backward at batch 128 (benchmarks/train_bisect4.py)
+    remat_decoder: bool = False
+    # fused Pallas LayerNorms in the mel decoder (see MelDecoder.fused_norm)
+    fused_decoder_norm: bool = False
+    fused_norm_interpret: bool = False
 
     @nn.compact
     def __call__(self, phoneme: jnp.ndarray, pad_mask: jnp.ndarray,
@@ -33,8 +41,12 @@ class Phoneme2Mel(nn.Module):
             duration_target=duration_target,
             speaker=speaker,
             train=train)
-        mel = MelDecoder(self.cfg, ref_pad_semantics=self.ref_pad_semantics,
-                         dtype=self.dtype, name="decoder")(
+        decoder_cls = (nn.remat(MelDecoder) if self.remat_decoder
+                       else MelDecoder)
+        mel = decoder_cls(self.cfg, ref_pad_semantics=self.ref_pad_semantics,
+                          dtype=self.dtype, name="decoder",
+                          fused_norm=self.fused_decoder_norm,
+                          fused_interpret=self.fused_norm_interpret)(
             pred["features"], ~pred["frame_valid"])
         # zero invalid frames (reference zero-fills for bs>1; with static
         # shapes the mask always exists, and valid frames are unaffected)

@@ -43,3 +43,83 @@ def test_folded_matmul_interpret(t, d_in, d_out, w, valid, res, lrelu):
                         pre_lrelu=lrelu, tm=32, tn=128, interpret=True)
     want = _oracle(x, W, b, w, valid, residual, lrelu)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_layer_norm_fused_matches_reference():
+    """Fused LN kernel (interpret): forward bit-parity in bf16 and
+    grad parity for x/scale/bias vs the plain-module math."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from efficientspeech_tpu.ops.pallas.layer_norm import layer_norm_fused
+
+    rng = np.random.default_rng(0)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.normal(size=(5, 21, 128)) * 2 + 0.5, dtype)
+        s = jnp.asarray(rng.normal(size=(128,)) * 0.5 + 1, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(128,)) * 0.1, jnp.float32)
+
+        def ref_ln(x, s, b):
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, -1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), -1, keepdims=True)
+            return ((xf - mean) * jax.lax.rsqrt(var + 1e-5) * s
+                    + b).astype(x.dtype)
+
+        y1 = layer_norm_fused(x, s, b, 1e-5, 16, True)
+        y2 = ref_ln(x, s, b)
+        np.testing.assert_allclose(
+            np.asarray(y1, np.float32), np.asarray(y2, np.float32),
+            atol=1e-6 if dtype == jnp.float32 else 0.0)
+
+        g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(layer_norm_fused(
+            *a, 1e-5, 16, True).astype(jnp.float32))),
+            argnums=(0, 1, 2))(x, s, b)
+        g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(ref_ln(
+            *a).astype(jnp.float32))), argnums=(0, 1, 2))(x, s, b)
+        for a, c in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(c, np.float32),
+                                       rtol=1e-3, atol=1e-4)
+
+
+def test_mel_decoder_fused_norm_and_remat_match_plain():
+    """MelDecoder with fused Pallas norms + Phoneme2Mel remat == plain
+    path (same params), forward and gradients."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from efficientspeech_tpu.config import ModelConfig
+    from efficientspeech_tpu.models.mel_decoder import MelDecoder
+
+    cfg = ModelConfig.preset("tiny", max_phoneme_len=16, max_mel_len=64)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 64, 4 * cfg.filter_dim)),
+                    jnp.float32)
+    mask = jnp.zeros((2, 64), bool).at[:, 50:].set(True)
+
+    plain = MelDecoder(cfg, dtype=jnp.float32)
+    fused = MelDecoder(cfg, dtype=jnp.float32, fused_norm=True,
+                       fused_interpret=True)
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+
+    y1 = plain.apply({"params": params}, x, frame_pad_mask=mask)
+    y2 = fused.apply({"params": params}, x, frame_pad_mask=mask)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=2e-5, atol=2e-5)
+
+    g1 = jax.grad(lambda p: jnp.sum(jnp.abs(plain.apply(
+        {"params": p}, x, frame_pad_mask=mask))))(params)
+    g2 = jax.grad(lambda p: jnp.sum(jnp.abs(fused.apply(
+        {"params": p}, x, frame_pad_mask=mask))))(params)
+    flat2 = {str(k): v for k, v in
+             jax.tree_util.tree_leaves_with_path(g2)}
+    for k1, a in jax.tree_util.tree_leaves_with_path(g1):
+        np.testing.assert_allclose(np.asarray(a),
+                                   np.asarray(flat2[str(k1)]),
+                                   rtol=1e-3, atol=1e-4,
+                                   err_msg=str(k1))
