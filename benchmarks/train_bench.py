@@ -100,7 +100,8 @@ def main():
     b, n, m = args.batch_size, args.max_phoneme_len, args.max_mel_len
     cfg = ModelConfig.preset(args.preset, max_phoneme_len=n, max_mel_len=m)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    model = Phoneme2Mel(cfg, dtype=dtype)
+    model = Phoneme2Mel(cfg, dtype=dtype,
+                        fused_decoder_norm=jax.default_backend() != "cpu")
 
     rng = np.random.default_rng(0)
     s = args.corpus_size if args.feed == "device-cache" else b

@@ -49,7 +49,8 @@ def main():
     n, m = 128, 1024
     cfg = ModelConfig.preset("tiny", max_phoneme_len=n, max_mel_len=m)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    model = Phoneme2Mel(cfg, dtype=dtype)
+    model = Phoneme2Mel(cfg, dtype=dtype,
+                        fused_decoder_norm=jax.default_backend() != "cpu")
     rng = np.random.default_rng(0)
     host_cache = synth_samples(rng, args.corpus_size, n, m)
     dev_cache = upload_cache(host_cache)

@@ -46,9 +46,14 @@ def _bwd_kernel(x_ref, s_ref, dy_ref, dx_ref, ds_ref, db_ref, *, eps):
     gxm = jnp.mean(g * xhat, axis=-1, keepdims=True)
     dx = rstd * (g - gm - xhat * gxm)
     dx_ref[:] = dx.astype(dx_ref.dtype)
-    # per-tile partials; summed over the grid outside the kernel
-    ds_ref[0, :] = jnp.sum(dy * xhat, axis=0)
-    db_ref[0, :] = jnp.sum(dy, axis=0)
+    # per-tile partials; summed over the grid outside the kernel.  Mosaic
+    # needs >= 8 sublanes per block, so the partial occupies row 0 of an
+    # (8, C) block with zero rows beneath (they vanish in the sum)
+    zeros7 = jnp.zeros((7, dy.shape[1]), jnp.float32)
+    ds_ref[:] = jnp.concatenate(
+        [jnp.sum(dy * xhat, axis=0, keepdims=True), zeros7], axis=0)
+    db_ref[:] = jnp.concatenate(
+        [jnp.sum(dy, axis=0, keepdims=True), zeros7], axis=0)
 
 
 def _pad_rows(x, tm):
@@ -91,8 +96,8 @@ def _bwd_call(x2d, scale, dy2d, eps, tm, interpret):
         functools.partial(_bwd_kernel, eps=eps),
         out_shape=(
             jax.ShapeDtypeStruct(xp.shape, x2d.dtype),
-            jax.ShapeDtypeStruct((grid, c), jnp.float32),
-            jax.ShapeDtypeStruct((grid, c), jnp.float32),
+            jax.ShapeDtypeStruct((grid * 8, c), jnp.float32),
+            jax.ShapeDtypeStruct((grid * 8, c), jnp.float32),
         ),
         grid=(grid,),
         in_specs=[
@@ -106,9 +111,9 @@ def _bwd_call(x2d, scale, dy2d, eps, tm, interpret):
         out_specs=(
             pl.BlockSpec((tm, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0),
+            pl.BlockSpec((8, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0),
+            pl.BlockSpec((8, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
