@@ -366,8 +366,11 @@ class PhonemeEncoder(nn.Module):
             durations = jnp.round(duration_pred[..., 0])
         durations = jnp.where(mask0, 0, jnp.maximum(durations, 0))
 
+        # training (bf16) expands via the one-hot matmul: bit-exact vs the
+        # gather, with a matmul backward instead of a scatter-add
         frames, frame_valid, mel_len = length_regulate(
-            fused_cat, durations, cfg.max_mel_len)
+            fused_cat, durations, cfg.max_mel_len,
+            via_matmul=train)
 
         return {
             "pitch": pitch_pred,

@@ -91,3 +91,31 @@ def test_length_regulator_overflow_clamps():
     assert int(mel_len[0]) == 40
     assert bool(valid.all())
     assert np.asarray(frames).shape == (1, 16, 2)
+
+
+def test_length_regulate_via_matmul_bit_exact():
+    """One-hot-matmul expansion (the scatter-free training path) is
+    BIT-EXACT vs the gather for bf16 features, including all-zero
+    durations and overflow past max_mel_len."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from efficientspeech_tpu.ops.length_regulator import length_regulate
+
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.normal(size=(3, 17, 32)), jnp.bfloat16)
+    for durs in (rng.integers(0, 5, size=(3, 17)),
+                 np.zeros((3, 17), np.int64),
+                 np.full((3, 17), 9)):         # 153 frames > M=64
+        d = jnp.asarray(durs, jnp.int32)
+        a = length_regulate(f, d, 64)
+        b = length_regulate(f, d, 64, via_matmul=True)
+        assert (a[0] == b[0]).all()
+        assert (a[1] == b[1]).all() and (a[2] == b[2]).all()
+    # f32 features fall back to the gather (matmul would round)
+    f32 = f.astype(jnp.float32)
+    c = length_regulate(f32, jnp.asarray(durs, jnp.int32), 64,
+                        via_matmul=True)
+    ref = length_regulate(f32, jnp.asarray(durs, jnp.int32), 64)
+    assert (c[0] == ref[0]).all()
