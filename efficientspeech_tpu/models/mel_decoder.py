@@ -6,13 +6,32 @@ under XLA; a fused Pallas kernel can be swapped in for the block body (see
 ``efficientspeech_tpu.ops.pallas``).
 """
 
-from typing import Optional
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from efficientspeech_tpu.config import ModelConfig
-from efficientspeech_tpu.models.modules import Conv1d, LayerNorm, Linear, masked_fill
+from efficientspeech_tpu.models.modules import (
+    Conv1d, LayerNorm, Linear, _torch_uniform_init, masked_fill)
+
+
+class _ParamHolder(nn.Module):
+    """Declares exactly the params a Conv1d/LayerNorm submodule would.
+
+    The fused-block path (ops/pallas/decoder_block.py) consumes the raw
+    weights of four submodules in one kernel; naming a holder after each
+    original submodule keeps the parameter tree (and the flax init RNG
+    stream, which is derived from the param path) IDENTICAL to the
+    unfused model — checkpoints are interchangeable between the paths.
+    """
+
+    decls: Tuple[Tuple[str, Any, Tuple[int, ...]], ...]
+
+    @nn.compact
+    def __call__(self):
+        return tuple(self.param(name, init, shape)
+                     for name, init, shape in self.decls)
 
 
 class MelDecoder(nn.Module):
@@ -24,6 +43,11 @@ class MelDecoder(nn.Module):
     # training-step bisection found XLA's LN backward dominates the step
     fused_norm: bool = False
     fused_interpret: bool = False
+    # fuse each block-body iteration (masked_fill + dw conv + pw conv +
+    # tanh + LayerNorm) into ONE Pallas kernel with a recomputing custom
+    # VJP (ops/pallas/decoder_block.py) — same param tree, same numerics
+    fused_block: bool = False
+    fused_block_tg: int = 4
 
     @nn.compact
     def __call__(self, features: jnp.ndarray,
@@ -49,9 +73,41 @@ class MelDecoder(nn.Module):
         x = jnp.tanh(x)
         skip = norm("proj_norm")(x)
 
+        fuse_block = self.fused_block and dim_x2 % 128 == 0
+        if fuse_block:
+            from efficientspeech_tpu.ops.pallas.decoder_block import (
+                decoder_block_fused)
+
+            # keep = 1.0 on valid frames.  ref_pad_semantics never masks,
+            # so it uses all-ones (multiplying by exactly 1.0 in f32 is the
+            # identity on bf16/f32 values — same numerics as no mask)
+            if native and frame_pad_mask is not None:
+                keep = 1.0 - frame_pad_mask.astype(jnp.float32)
+            else:
+                keep = jnp.ones(x.shape[:2], jnp.float32)
+
         for b in range(cfg.n_blocks):
             x = skip
             for d in range(cfg.block_depth):
+                if fuse_block:
+                    dw_k, dw_b = _ParamHolder(
+                        (("kernel", _torch_uniform_init(k), (k, 1, dim_x2)),
+                         ("bias", _torch_uniform_init(k), (dim_x2,))),
+                        name=f"block{b}_conv{d}_dw")()
+                    pw_k, pw_b = _ParamHolder(
+                        (("kernel", _torch_uniform_init(dim_x2),
+                          (1, dim_x2, dim_x2)),
+                         ("bias", _torch_uniform_init(dim_x2), (dim_x2,))),
+                        name=f"block{b}_conv{d}_pw")()
+                    ln_s, ln_b = _ParamHolder(
+                        (("scale", nn.initializers.ones, (dim_x2,)),
+                         ("bias", nn.initializers.zeros, (dim_x2,))),
+                        name=f"block{b}_norm{d}")()
+                    x = decoder_block_fused(
+                        x.astype(self.dtype), keep, dw_k, dw_b, pw_k, pw_b,
+                        ln_s, ln_b, k, 1e-5, self.fused_block_tg,
+                        self.fused_interpret)
+                    continue
                 if native:
                     x = masked_fill(x, frame_pad_mask)
                 x = Conv1d(dim_x2, kernel_size=k, padding=padding,

@@ -24,6 +24,8 @@ class Phoneme2Mel(nn.Module):
     # fused Pallas LayerNorms in the mel decoder (see MelDecoder.fused_norm)
     fused_decoder_norm: bool = False
     fused_norm_interpret: bool = False
+    # fused Pallas decoder-block kernel (see MelDecoder.fused_block)
+    fused_decoder_block: bool = False
 
     @nn.compact
     def __call__(self, phoneme: jnp.ndarray, pad_mask: jnp.ndarray,
@@ -46,7 +48,8 @@ class Phoneme2Mel(nn.Module):
         mel = decoder_cls(self.cfg, ref_pad_semantics=self.ref_pad_semantics,
                           dtype=self.dtype, name="decoder",
                           fused_norm=self.fused_decoder_norm,
-                          fused_interpret=self.fused_norm_interpret)(
+                          fused_interpret=self.fused_norm_interpret,
+                          fused_block=self.fused_decoder_block)(
             pred["features"], ~pred["frame_valid"])
         # zero invalid frames (reference zero-fills for bs>1; with static
         # shapes the mask always exists, and valid frames are unaffected)

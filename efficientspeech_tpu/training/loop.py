@@ -65,7 +65,8 @@ class Trainer:
                  hifigan_cfg: Optional[HifiGanConfig] = None,
                  hifigan_params=None,
                  dtype=jnp.bfloat16,
-                 mesh=None):
+                 mesh=None,
+                 fused_block=None):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.preprocess_cfg = preprocess_cfg
@@ -86,13 +87,23 @@ class Trainer:
             model_cfg = dataclasses.replace(
                 model_cfg, n_speakers=self.train_ds.n_speakers)
             self.model_cfg = model_cfg
-        # fused Pallas LayerNorms in the mel decoder: exact semantics,
-        # measured 15.35 -> 13.03 ms/step at batch 128 on the v5e
-        # (benchmarks/train_bisect6.py); CPU backends use the plain path
-        # (same numerics — it is purely a performance knob)
+        # fused Pallas LayerNorms + fused decoder-block kernel in the mel
+        # decoder: exact semantics, measured 15.35 -> 13.03 ms/step (LN,
+        # benchmarks/train_bisect6.py) and further with the block kernel
+        # (benchmarks/train_bisect8.py) at batch 128 on the v5e; CPU
+        # backends use the plain path (same numerics — purely perf knobs)
+        # pallas_call has no GSPMD partitioning rule, so the fused kernels
+        # are single-device-mesh only (the multi-chip path uses the plain
+        # XLA ops — identical numerics; wrap the step in shard_map before
+        # enabling them there)
+        on_accel = (jax.default_backend() != "cpu"
+                    and self.mesh.devices.size == 1)
+        if fused_block is None:
+            fused_block = on_accel
         self.model = Phoneme2Mel(
             model_cfg, dtype=dtype,
-            fused_decoder_norm=jax.default_backend() != "cpu")
+            fused_decoder_norm=on_accel,
+            fused_decoder_block=fused_block and on_accel)
         self.logger = MetricLogger(train_cfg.log_dir)
         self.train_loader = BucketedLoader(
             self.train_ds, train_cfg.batch_size, shuffle=True,

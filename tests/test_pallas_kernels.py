@@ -123,3 +123,68 @@ def test_mel_decoder_fused_norm_and_remat_match_plain():
                                    np.asarray(flat2[str(k1)]),
                                    rtol=1e-3, atol=1e-4,
                                    err_msg=str(k1))
+
+
+def test_decoder_block_fused_matches_plain():
+    """Fused decoder-block kernel (interpret): identical param tree, f32
+    forward/grad parity, bf16 forward within rounding-order tolerance."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from efficientspeech_tpu.config import ModelConfig
+    from efficientspeech_tpu.models.mel_decoder import MelDecoder
+
+    cfg = ModelConfig.preset("tiny", max_phoneme_len=16, max_mel_len=32)
+    rng = np.random.default_rng(0)
+    x32 = jnp.asarray(rng.normal(size=(3, 32, 4 * cfg.filter_dim)),
+                      jnp.float32)
+    mask = jnp.asarray(rng.random((3, 32)) < 0.2)
+
+    plain = MelDecoder(cfg, dtype=jnp.float32)
+    fused = MelDecoder(cfg, dtype=jnp.float32, fused_block=True,
+                       fused_interpret=True, fused_block_tg=2)
+    p1 = plain.init(jax.random.PRNGKey(0), x32, mask)["params"]
+    p2 = fused.init(jax.random.PRNGKey(0), x32, mask)["params"]
+
+    # identical tree: same paths, same values (checkpoints interchange)
+    k1 = [(jtu.keystr(k), np.asarray(v))
+          for k, v in jtu.tree_flatten_with_path(p1)[0]]
+    k2 = [(jtu.keystr(k), np.asarray(v))
+          for k, v in jtu.tree_flatten_with_path(p2)[0]]
+    assert [a for a, _ in k1] == [a for a, _ in k2]
+    for (ka, va), (_, vb) in zip(k1, k2):
+        np.testing.assert_array_equal(va, vb, err_msg=ka)
+
+    # f32: near-exact forward and gradient parity
+    y1 = plain.apply({"params": p1}, x32, mask)
+    y2 = fused.apply({"params": p1}, x32, mask)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(model, p):
+        return jnp.sum(model.apply({"params": p}, x32, mask) ** 2)
+
+    g1 = jax.grad(lambda p: loss(plain, p))(p1)
+    g2 = jax.grad(lambda p: loss(fused, p))(p1)
+    for (ka, va), (_, vb) in zip(jtu.tree_flatten_with_path(g1)[0],
+                                 jtu.tree_flatten_with_path(g2)[0]):
+        scale = np.max(np.abs(np.asarray(va))) + 1e-12
+        np.testing.assert_allclose(np.asarray(vb) / scale,
+                                   np.asarray(va) / scale,
+                                   atol=1e-5, err_msg=ka)
+
+    # bf16: rounding-order tolerance on the forward
+    xb = x32.astype(jnp.bfloat16)
+    pb = MelDecoder(cfg, dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), xb, mask)["params"]
+    yb1 = MelDecoder(cfg, dtype=jnp.bfloat16).apply(
+        {"params": pb}, xb, mask)
+    yb2 = MelDecoder(cfg, dtype=jnp.bfloat16, fused_block=True,
+                     fused_interpret=True, fused_block_tg=2).apply(
+        {"params": pb}, xb, mask)
+    np.testing.assert_allclose(np.asarray(yb1, np.float32),
+                               np.asarray(yb2, np.float32),
+                               atol=0.06)
