@@ -77,6 +77,13 @@ def main():
     parser.add_argument("--scan-steps", type=int, default=1,
                         help="with --feed device-cache: optimizer steps per "
                              "dispatch (lax.scan over a (K,B) index matrix)")
+    parser.add_argument("--no-fused-block", action="store_true",
+                        help="disable the fused decoder-block Pallas kernel "
+                             "(the Trainer's on-accelerator default is ON)")
+    parser.add_argument("--flat-optimizer", action="store_true",
+                        help="run AdamW over one flattened vector "
+                             "(training/state.flat_wrap; measured ~0.3 ms "
+                             "SLOWER than the tree default at batch 128)")
     args = parser.parse_args()
 
     import jax
@@ -100,8 +107,10 @@ def main():
     b, n, m = args.batch_size, args.max_phoneme_len, args.max_mel_len
     cfg = ModelConfig.preset(args.preset, max_phoneme_len=n, max_mel_len=m)
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    model = Phoneme2Mel(cfg, dtype=dtype,
-                        fused_decoder_norm=jax.default_backend() != "cpu")
+    on_accel = jax.default_backend() != "cpu"
+    fused_block = on_accel and not args.no_fused_block
+    model = Phoneme2Mel(cfg, dtype=dtype, fused_decoder_norm=on_accel,
+                        fused_decoder_block=fused_block)
 
     rng = np.random.default_rng(0)
     s = args.corpus_size if args.feed == "device-cache" else b
@@ -113,7 +122,8 @@ def main():
         energy_target=jnp.zeros((1, n)),
         duration_target=jnp.ones((1, n), jnp.int32), train=True)["params"])
 
-    train_cfg = TrainConfig(batch_size=b)
+    train_cfg = TrainConfig(batch_size=b,
+                            flat_optimizer=args.flat_optimizer)
     tx = make_optimizer(train_cfg, 100)
     mesh = make_mesh(data_parallel=args.data_parallel)
     state = jax.device_put(

@@ -48,6 +48,9 @@ class MelDecoder(nn.Module):
     # VJP (ops/pallas/decoder_block.py) — same param tree, same numerics
     fused_block: bool = False
     fused_block_tg: int = 4
+    # the kernel backward holds ~2x the forward's live f32 temps; it runs
+    # at a smaller batch-group to stay inside the 16 MB VMEM limit
+    fused_block_tg_bwd: int = 2
 
     @nn.compact
     def __call__(self, features: jnp.ndarray,
@@ -106,7 +109,7 @@ class MelDecoder(nn.Module):
                     x = decoder_block_fused(
                         x.astype(self.dtype), keep, dw_k, dw_b, pw_k, pw_b,
                         ln_s, ln_b, k, 1e-5, self.fused_block_tg,
-                        self.fused_interpret)
+                        self.fused_block_tg_bwd, self.fused_interpret)
                     continue
                 if native:
                     x = masked_fill(x, frame_pad_mask)

@@ -161,10 +161,10 @@ def _pad_batch(x, keep3, tg):
     return x, keep3, b
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def decoder_block_fused(x, keep, dw_w, dw_b, pw_w, pw_b, ln_s, ln_b,
                         k: int = 5, eps: float = 1e-5, tg: int = 4,
-                        interpret: bool = False):
+                        tg_bwd: int = 2, interpret: bool = False):
     """Fused masked_fill→dwconv(k)→pwconv→tanh→LayerNorm over (B, M, C).
 
     ``keep`` is (B, M) float (1.0 = valid frame, 0.0 = pad); ``dw_w`` is
@@ -209,13 +209,17 @@ def _fwd_impl(x, keep, dw_w, dw_b, pw_w, pw_b, ln_s, ln_b,
 
 
 def _db_fwd(x, keep, dw_w, dw_b, pw_w, pw_b, ln_s, ln_b,
-            k, eps, tg, interpret):
+            k, eps, tg, tg_bwd, interpret):
     y = decoder_block_fused(x, keep, dw_w, dw_b, pw_w, pw_b, ln_s, ln_b,
-                            k, eps, tg, interpret)
+                            k, eps, tg, tg_bwd, interpret)
     return y, (x, keep, dw_w, dw_b, pw_w, pw_b, ln_s)
 
 
-def _db_bwd(k, eps, tg, interpret, res, dy):
+def _db_bwd(k, eps, tg, tg_bwd, interpret, res, dy):
+    # the backward holds ~2x the forward's live f32 temps, so it runs at
+    # its own (smaller) batch-group size to stay inside the 16 MB VMEM
+    # scoped-allocation limit (tg=4 measured 25.07M > 16M on v5e)
+    tg = tg_bwd
     x, keep, dw_w, dw_b, pw_w, pw_b, ln_s = res
     b, m, c = x.shape
     keep3 = keep.astype(jnp.float32).reshape(b, m, 1)
