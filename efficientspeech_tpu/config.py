@@ -213,6 +213,15 @@ class TrainConfig:
     # lax.scan — amortizes per-dispatch overhead (dominant on tunneled
     # links; measured 14.5 ms/step dispatch vs ~3 ms device compute)
     device_data_scan_steps: int = 1
+    # run AdamW over ONE flattened f32 vector instead of the ~100-tensor
+    # param tree (training/state.flat_wrap): numerically identical
+    # elementwise math (tested), but MEASURED SLOWER on the v5e — 7.7-7.8
+    # vs 7.4 ms/step at batch 128 across repeated A/Bs (the ravel/unravel
+    # copies cost more than the per-tensor op dispatch they remove, and
+    # XLA already fuses the tree-shaped update well).  Kept as an option;
+    # tensor-parallel sharding of tree-shaped moments lives in
+    # parallel/sharding.state_shardings either way.
+    flat_optimizer: bool = False
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "logs"
     wav_path: str = "wavs"

@@ -61,13 +61,19 @@ def state_shardings(state, mesh: Mesh):
     param_sh = tp_param_shardings(state.params, mesh)
     repl = NamedSharding(mesh, P())
 
+    params_struct = jax.tree_util.tree_structure(state.params)
+
     def match_opt(opt_state):
         out = []
         for part in opt_state:
-            if hasattr(part, "mu"):  # optax ScaleByAdamState
+            if (hasattr(part, "mu")  # optax ScaleByAdamState
+                    and jax.tree_util.tree_structure(part.mu)
+                    == params_struct):
                 out.append(part._replace(mu=param_sh, nu=param_sh,
                                          count=repl))
             else:
+                # flat_wrap'd optimizer (training/state.py): moments are a
+                # single flattened vector — replicate them
                 out.append(jax.tree.map(lambda _: repl, part))
         return tuple(out)
 

@@ -35,23 +35,55 @@ class TrainState:
         return {**self.params, **self.frozen}
 
 
+def flat_wrap(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run ``tx`` over ONE flattened vector instead of the param tree.
+
+    AdamW's math is purely elementwise, so the updates are numerically
+    identical (tested) — the XLA program shrinks from 4-5 tiny fused ops
+    PER param tensor (~100 tensors for the tiny preset) to a handful of
+    ops over one contiguous buffer.  MEASURED SLOWER on the v5e at batch
+    128 (7.7-7.8 vs 7.4 ms/step, repeated A/Bs): the ravel/unravel copies
+    outweigh the dispatch savings, so TrainConfig.flat_optimizer defaults
+    to False.  The optimizer state becomes ScaleByAdamState with flat
+    mu/nu; parallel/sharding.state_shardings replicates flat moments
+    (tree-shaped moments get the Megatron-style param shardings).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return tx.init(flat)
+
+    def update(grads, state, params=None):
+        gflat, unravel = ravel_pytree(grads)
+        pflat = ravel_pytree(params)[0] if params is not None else None
+        uflat, new_state = tx.update(gflat, state, pflat)
+        return unravel(uflat), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(train_cfg: TrainConfig, steps_per_epoch: int,
-                   schedule=None) -> optax.GradientTransformation:
+                   schedule=None, flat=None) -> optax.GradientTransformation:
     """schedule: pass a shared schedule object (e.g. the one used for lr
-    logging) to guarantee optimizer and logs can never drift apart."""
+    logging) to guarantee optimizer and logs can never drift apart.
+    flat: override train_cfg.flat_optimizer (see flat_wrap)."""
     if schedule is None:
         schedule = warmup_cosine_schedule(
             train_cfg.lr, train_cfg.warmup_epochs, train_cfg.max_epochs,
             steps_per_epoch)
-    return optax.adamw(schedule, weight_decay=train_cfg.weight_decay)
+    tx = optax.adamw(schedule, weight_decay=train_cfg.weight_decay)
+    if flat is None:
+        flat = train_cfg.flat_optimizer
+    return flat_wrap(tx) if flat else tx
 
 
 def create_train_state(params: Dict, train_cfg: TrainConfig,
                        steps_per_epoch: int,
-                       frozen_keys=("hifigan",)) -> TrainState:
+                       frozen_keys=("hifigan",), flat=None) -> TrainState:
     trainable = {k: v for k, v in params.items() if k not in frozen_keys}
     frozen = {k: v for k, v in params.items() if k in frozen_keys} or None
-    tx = make_optimizer(train_cfg, steps_per_epoch)
+    tx = make_optimizer(train_cfg, steps_per_epoch, flat=flat)
     opt_state = tx.init(trainable)
     return TrainState(step=jnp.zeros((), jnp.int32), params=trainable,
                       opt_state=opt_state, frozen=frozen)

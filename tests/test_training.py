@@ -184,3 +184,39 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state.params)),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_flat_optimizer_matches_tree():
+    """flat_wrap'd AdamW (one flattened vector) produces bit-identical
+    updates to the tree-shaped optimizer — the math is elementwise."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from efficientspeech_tpu.config import TrainConfig
+    from efficientspeech_tpu.training.state import make_optimizer
+
+    rng = np.random.default_rng(0)
+    params = {"a": {"w": jnp.asarray(rng.normal(size=(7, 5)), jnp.float32),
+                    "b": jnp.asarray(rng.normal(size=(5,)), jnp.float32)},
+              "c": jnp.asarray(rng.normal(size=(3, 2, 4)), jnp.float32)}
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params)
+
+    cfg = TrainConfig(batch_size=4)
+    tx_tree = make_optimizer(cfg, 10, flat=False)
+    tx_flat = make_optimizer(cfg, 10, flat=True)
+
+    st_t = tx_tree.init(params)
+    st_f = tx_flat.init(params)
+    pt, pf = params, params
+    for _ in range(3):
+        ut, st_t = tx_tree.update(grads, st_t, pt)
+        uf, st_f = tx_flat.update(grads, st_f, pf)
+        import optax
+        pt = optax.apply_updates(pt, ut)
+        pf = optax.apply_updates(pf, uf)
+        for a, b in zip(jax.tree_util.tree_leaves(ut),
+                        jax.tree_util.tree_leaves(uf)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
