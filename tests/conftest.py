@@ -3,22 +3,31 @@
 Multi-chip sharding tests run on a virtual CPU mesh (the standard JAX
 fake-multi-device trick); the environment variables must be set before JAX
 initializes its backends, hence this conftest.
+
+Exception: ES_TPU_SMOKE=1 leaves the real backend alone so the gated
+real-chip tests (test_tpu_smoke.py) can run compiled Mosaic kernels —
+use it ONLY when targeting that file (the rest of the suite is written
+for the virtual CPU mesh):
+
+    ES_TPU_SMOKE=1 python -m pytest tests/test_tpu_smoke.py -v
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if not os.environ.get("ES_TPU_SMOKE"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-# jax may already be imported by a pytest plugin with JAX_PLATFORMS from the
-# outer environment (e.g. a TPU backend); override through the config too.
-import jax  # noqa: E402
+    # jax may already be imported by a pytest plugin with JAX_PLATFORMS
+    # from the outer environment (e.g. a TPU backend); override through
+    # the config too.
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 
 # --- shared synthetic mini corpus fixture -----------------------------------
