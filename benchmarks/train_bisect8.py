@@ -38,6 +38,7 @@ def main():
     parser.add_argument("--chain", type=int, default=24)
     parser.add_argument("--reps", type=int, default=5)
     parser.add_argument("--tg", type=int, default=4)
+    parser.add_argument("--tg-bwd", type=int, default=2)
     args = parser.parse_args()
 
     enable_compilation_cache()
@@ -63,7 +64,8 @@ def main():
     cases = {}
 
     meldec = MelDecoder(cfg, dtype=dtype, fused_norm=True, fused_block=True,
-                        fused_block_tg=args.tg)
+                        fused_block_tg=args.tg,
+                        fused_block_tg_bwd=args.tg_bwd)
     md_params = host_init(lambda: meldec.init(
         jax.random.PRNGKey(1), frames_in, frame_mask)["params"], seed=1)
     md_params = jax.tree.map(jnp.asarray, md_params)
