@@ -80,9 +80,10 @@ def main():
         gflop = plan_flops(arrays, t, meta, cfg) / 1e9
         use_pallas = mode.startswith("pallas")
         fuse_k = mode == "pallasfk"
+        win_dma = mode == "pallaswd"
 
         def make(n_iters, arrays=arrays, meta=meta, use_pallas=use_pallas,
-                 tm=tm, fuse_k=fuse_k):
+                 tm=tm, fuse_k=fuse_k, win_dma=win_dma):
             @jax.jit
             def chain(mel, vl, seed):
                 def body(i, c):
@@ -91,7 +92,7 @@ def main():
                         arrays, meta, cfg, m, valid_len=vl,
                         dtype=jnp.bfloat16, use_pallas=use_pallas,
                         pallas_tm=tm if tm else 512,
-                        pallas_fuse_k=fuse_k)
+                        pallas_fuse_k=fuse_k, pallas_window_dma=win_dma)
                     return c + wav[0, 0] + wav[0, -1]
                 return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
             return chain
@@ -110,12 +111,14 @@ def main():
         results[label] = (ms, gflop)
         # one numerics probe per variant (same seeded perturbation)
         single = jax.jit(lambda m, v, arrays=arrays, meta=meta,
-                         use_pallas=use_pallas, tm=tm, fuse_k=fuse_k:
+                         use_pallas=use_pallas, tm=tm, fuse_k=fuse_k,
+                         win_dma=win_dma:
                          folded_plan_apply(
                              arrays, meta, cfg, m, valid_len=v,
                              dtype=jnp.bfloat16, use_pallas=use_pallas,
                              pallas_tm=tm if tm else 512,
-                             pallas_fuse_k=fuse_k))
+                             pallas_fuse_k=fuse_k,
+                             pallas_window_dma=win_dma))
         outputs[label] = np.asarray(jax.device_get(single(mel, vl)))
         eff = gflop / ms * 1e3 / 1e3  # TFLOP/s
         print(f"  {label}: {ms:.2f} ms  ({gflop:.0f} GFLOP, "

@@ -39,6 +39,9 @@ def main():
     parser.add_argument("--reps", type=int, default=5)
     parser.add_argument("--tg", type=int, default=4)
     parser.add_argument("--tg-bwd", type=int, default=2)
+    parser.add_argument("--bwd-vmem-mb", type=int, default=0,
+                        help="raise Mosaic's scoped-vmem cap for the "
+                             "backward kernel (0 = default 16 MB)")
     args = parser.parse_args()
 
     enable_compilation_cache()
@@ -65,7 +68,8 @@ def main():
 
     meldec = MelDecoder(cfg, dtype=dtype, fused_norm=True, fused_block=True,
                         fused_block_tg=args.tg,
-                        fused_block_tg_bwd=args.tg_bwd)
+                        fused_block_tg_bwd=args.tg_bwd,
+                        fused_block_bwd_vmem_mb=args.bwd_vmem_mb)
     md_params = host_init(lambda: meldec.init(
         jax.random.PRNGKey(1), frames_in, frame_mask)["params"], seed=1)
     md_params = jax.tree.map(jnp.asarray, md_params)
@@ -84,7 +88,9 @@ def main():
                 frame_mask).astype(jnp.float32)))(md_params)))
 
     model = Phoneme2Mel(cfg, dtype=dtype, fused_decoder_norm=True,
-                        fused_decoder_block=True)
+                        fused_decoder_block=True,
+                        fused_block_tg_bwd=args.tg_bwd,
+                        fused_block_bwd_vmem_mb=args.bwd_vmem_mb)
     params = host_init(lambda: model.init(
         jax.random.PRNGKey(0), batch["phoneme"], batch["phoneme_mask"],
         pitch_target=batch["pitch"], energy_target=batch["energy"],

@@ -298,7 +298,8 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
                       use_pallas: bool = False,
                       interpret: bool = False,
                       pallas_tm: int = 512,
-                      pallas_fuse_k: bool = False) -> jnp.ndarray:
+                      pallas_fuse_k: bool = False,
+                      pallas_window_dma: bool = False) -> jnp.ndarray:
     """Run the re-gridded folded generator.  ``arrays``/``meta`` from
     fold_hifigan_device.  Exactly equivalent to HifiGanGenerator with
     row-level (frame-aligned) masking.
@@ -338,6 +339,7 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
                                 else residual[0],
                                 pre_lrelu=pre_lrelu, lrelu_slope=slope,
                                 tm=pallas_tm, fuse_k=pallas_fuse_k,
+                                window_dma=pallas_window_dma,
                                 interpret=interpret)[None]
         else:
             src = inp

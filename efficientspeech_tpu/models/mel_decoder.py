@@ -51,6 +51,10 @@ class MelDecoder(nn.Module):
     # the kernel backward holds ~2x the forward's live f32 temps; it runs
     # at a smaller batch-group to stay inside the 16 MB VMEM limit
     fused_block_tg_bwd: int = 2
+    # > 0: raise Mosaic's scoped-vmem cap (MB) for the backward kernel so
+    # larger tg_bwd fits (v5e has >16 MB physical VMEM; 16 is the default
+    # compiler budget, not the hardware)
+    fused_block_bwd_vmem_mb: int = 0
 
     @nn.compact
     def __call__(self, features: jnp.ndarray,
@@ -109,7 +113,8 @@ class MelDecoder(nn.Module):
                     x = decoder_block_fused(
                         x.astype(self.dtype), keep, dw_k, dw_b, pw_k, pw_b,
                         ln_s, ln_b, k, 1e-5, self.fused_block_tg,
-                        self.fused_block_tg_bwd, self.fused_interpret)
+                        self.fused_block_tg_bwd, self.fused_interpret,
+                        self.fused_block_bwd_vmem_mb)
                     continue
                 if native:
                     x = masked_fill(x, frame_pad_mask)

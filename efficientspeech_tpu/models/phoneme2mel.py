@@ -26,6 +26,9 @@ class Phoneme2Mel(nn.Module):
     fused_norm_interpret: bool = False
     # fused Pallas decoder-block kernel (see MelDecoder.fused_block)
     fused_decoder_block: bool = False
+    # backward batch-group / scoped-vmem cap for the fused block kernel
+    fused_block_tg_bwd: int = 2
+    fused_block_bwd_vmem_mb: int = 0
 
     @nn.compact
     def __call__(self, phoneme: jnp.ndarray, pad_mask: jnp.ndarray,
@@ -49,7 +52,10 @@ class Phoneme2Mel(nn.Module):
                           dtype=self.dtype, name="decoder",
                           fused_norm=self.fused_decoder_norm,
                           fused_interpret=self.fused_norm_interpret,
-                          fused_block=self.fused_decoder_block)(
+                          fused_block=self.fused_decoder_block,
+                          fused_block_tg_bwd=self.fused_block_tg_bwd,
+                          fused_block_bwd_vmem_mb=(
+                              self.fused_block_bwd_vmem_mb))(
             pred["features"], ~pred["frame_valid"])
         # zero invalid frames (reference zero-fills for bs>1; with static
         # shapes the mask always exists, and valid frames are unaffected)

@@ -161,10 +161,11 @@ def _pad_batch(x, keep3, tg):
     return x, keep3, b
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def decoder_block_fused(x, keep, dw_w, dw_b, pw_w, pw_b, ln_s, ln_b,
                         k: int = 5, eps: float = 1e-5, tg: int = 4,
-                        tg_bwd: int = 2, interpret: bool = False):
+                        tg_bwd: int = 2, interpret: bool = False,
+                        bwd_vmem_mb: int = 0):
     """Fused masked_fill→dwconv(k)→pwconv→tanh→LayerNorm over (B, M, C).
 
     ``keep`` is (B, M) float (1.0 = valid frame, 0.0 = pad); ``dw_w`` is
@@ -209,16 +210,17 @@ def _fwd_impl(x, keep, dw_w, dw_b, pw_w, pw_b, ln_s, ln_b,
 
 
 def _db_fwd(x, keep, dw_w, dw_b, pw_w, pw_b, ln_s, ln_b,
-            k, eps, tg, tg_bwd, interpret):
+            k, eps, tg, tg_bwd, interpret, bwd_vmem_mb):
     y = decoder_block_fused(x, keep, dw_w, dw_b, pw_w, pw_b, ln_s, ln_b,
-                            k, eps, tg, tg_bwd, interpret)
+                            k, eps, tg, tg_bwd, interpret, bwd_vmem_mb)
     return y, (x, keep, dw_w, dw_b, pw_w, pw_b, ln_s)
 
 
-def _db_bwd(k, eps, tg, tg_bwd, interpret, res, dy):
+def _db_bwd(k, eps, tg, tg_bwd, interpret, bwd_vmem_mb, res, dy):
     # the backward holds ~2x the forward's live f32 temps, so it runs at
     # its own (smaller) batch-group size to stay inside the 16 MB VMEM
-    # scoped-allocation limit (tg=4 measured 25.07M > 16M on v5e)
+    # scoped-allocation limit (tg=4 measured 25.07M > 16M on v5e);
+    # bwd_vmem_mb > 0 raises Mosaic's scoped-vmem cap instead
     tg = tg_bwd
     x, keep, dw_w, dw_b, pw_w, pw_b, ln_s = res
     b, m, c = x.shape
@@ -258,6 +260,8 @@ def _db_bwd(k, eps, tg, tg_bwd, interpret, res, dy):
             pl.BlockSpec((tg, m, c), blk3, memory_space=pltpu.VMEM),
             part8, part8, partcc, part8, part8, part8,
         ),
+        compiler_params=None if not bwd_vmem_mb else pltpu.CompilerParams(
+            vmem_limit_bytes=bwd_vmem_mb << 20),
         interpret=interpret,
     )(xpad, keep3, dww, dwb, pww, pwb, lns, dypad)
 

@@ -22,7 +22,13 @@ Measured configuration notes (round 3, benchmarks/grid_sweep.py, d128 plan
 at 3,072 frames): tm=512 is fastest (3.96 ms vs 6.55 at tm=256, 4.65 at
 tm=1024); the ``fuse_k`` variant (materialize the window in VMEM, one
 deep-K dot) is ~5% SLOWER at tm=512 (4.18 ms) and ~7% faster at tm=256 —
-kept for other shapes, default off.
+kept for other shapes, default off.  The ``window_dma`` variant (window
+built by async DMA engines instead of VPU stores, two-tile software
+pipeline, single deep-K dot) is bit-exact but 24% SLOWER (5.97 vs 4.80 ms
+same-window): at these tile sizes the 2(n_win+1) DMA issue/wait
+operations per tile cost more than the VPU copy / f32-accumulator RMW
+they replace.  Kept as an option for documentation and for shapes with
+much larger tiles.
 """
 
 from typing import Optional
@@ -114,6 +120,106 @@ def _make_kernel(n_win, tm, d_in, pre_lrelu, has_residual, out_dtype,
     return kernel
 
 
+def _make_kernel_window_dma(n_win, tm, d_in, grid_t, pre_lrelu, has_residual,
+                            out_dtype, lrelu_slope=LRELU_SLOPE,
+                            sequential=False):
+    """Software-pipelined deep-K variant (grid over T only, full-width N).
+
+    Why: at the d128 grid each tap dot is (tm,128)@(128,128), and the f32
+    accumulator read-modify-write per tap (VPU, ~256 KB/tap at tm=512)
+    costs ~3x the MXU time of the dot itself; the ``fuse_k`` variant's
+    VPU window copies cost the same as the RMW they remove.  Here the
+    (tm, n_win*d_in) window is built by the DMA engines (n_win
+    VMEM->VMEM copies) and consumed by ONE deep-K dot with internal MXU
+    accumulation — no VPU byte touches the window or an accumulator.
+    The pipeline runs two tiles deep: tile i's dot overlaps tile i+1's
+    HBM fetch, leaky-relu, and window-build DMAs (3 fetch slots / 2
+    window slots; the fetch for i+1 is issued at step i-1 so a full
+    step hides HBM latency).
+    """
+    slice_rows = _round8(tm + n_win - 1)
+
+    def kernel(valid_ref, x_hbm, w_ref, b_ref, *rest):
+        if has_residual:
+            res_ref, o_ref = rest
+        else:
+            (o_ref,) = rest
+        i = pl.program_id(0)
+
+        def fetch(xs2, fsem, step):
+            slot = jax.lax.rem(step, 3)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(step * tm, slice_rows), :],
+                xs2.at[slot], fsem.at[slot])
+
+        def win_copy(xs2, xw2, csem, step, j):
+            slot, wslot = jax.lax.rem(step, 3), jax.lax.rem(step, 2)
+            return pltpu.make_async_copy(
+                xs2.at[slot, pl.ds(j, tm), :],
+                xw2.at[wslot, :, pl.ds(j * d_in, d_in)],
+                csem.at[wslot, j])
+
+        def prep(xs2, xw2, fsem, csem, step):
+            # fetch(step) must already be in flight
+            fetch(xs2, fsem, step).wait()
+            xsr = xs2.at[jax.lax.rem(step, 3)]
+            if pre_lrelu:
+                xs = xsr[...]
+                xsr[...] = (jnp.maximum(xs, 0)
+                            + jnp.minimum(xs, 0) * lrelu_slope)
+            for j in range(n_win):
+                win_copy(xs2, xw2, csem, step, j).start()
+
+        def body(xs2, xw2, fsem, csem):
+            if sequential:
+                # interpret mode: run_scoped scratch does not persist
+                # across grid steps there, so do everything same-step
+                # (identical compute ops; the cross-step pipeline is
+                # validated on-chip by the grid_sweep numerics probe)
+                fetch(xs2, fsem, i).start()
+                prep(xs2, xw2, fsem, csem, i)
+            else:
+                @pl.when(i == 0)
+                def _warmup():
+                    fetch(xs2, fsem, 0).start()
+                    if grid_t > 1:
+                        fetch(xs2, fsem, 1).start()
+                    prep(xs2, xw2, fsem, csem, 0)
+
+                @pl.when(i + 2 < grid_t)
+                def _():
+                    fetch(xs2, fsem, i + 2).start()
+
+                @pl.when(i + 1 < grid_t)
+                def _():
+                    prep(xs2, xw2, fsem, csem, i + 1)
+
+            wslot = jax.lax.rem(i, 2)
+            for j in range(n_win):
+                # same descriptor as the start()ed copy; wait on its sem
+                win_copy(xs2, xw2, csem, i, j).wait()
+
+            acc = jnp.dot(xw2.at[wslot][...], w_ref[:],
+                          preferred_element_type=jnp.float32)
+            acc += b_ref[0, :].astype(jnp.float32)
+            if has_residual:
+                acc += res_ref[:].astype(jnp.float32)
+            valid = valid_ref[0]
+            rows = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0) + i * tm
+            acc = jnp.where(rows < valid, acc, 0.0)
+            o_ref[:] = acc.astype(out_dtype)
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((3, slice_rows, d_in), x_hbm.dtype),
+            pltpu.VMEM((2, tm, n_win * d_in), x_hbm.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, n_win)),
+        )
+
+    return kernel
+
+
 def folded_matmul(x: jnp.ndarray, W: jnp.ndarray, b: jnp.ndarray, w: int,
                   valid_len: jnp.ndarray,
                   residual: Optional[jnp.ndarray] = None,
@@ -121,6 +227,7 @@ def folded_matmul(x: jnp.ndarray, W: jnp.ndarray, b: jnp.ndarray, w: int,
                   lrelu_slope: float = LRELU_SLOPE,
                   tm: int = 256, tn: int = 512,
                   fuse_k: bool = False,
+                  window_dma: bool = False,
                   interpret: bool = False) -> jnp.ndarray:
     """x (T, D_in) frame-rate activations → (T, D_out).
 
@@ -150,8 +257,13 @@ def folded_matmul(x: jnp.ndarray, W: jnp.ndarray, b: jnp.ndarray, w: int,
     if has_res and t_pad != t:
         residual = jnp.pad(residual, ((0, t_pad - t), (0, 0)))
 
-    kernel = _make_kernel(n_win, tm, d_in, pre_lrelu, has_res, x.dtype,
-                          lrelu_slope=lrelu_slope, fuse_k=fuse_k)
+    if window_dma and tn == d_out:
+        kernel = _make_kernel_window_dma(
+            n_win, tm, d_in, grid_t, pre_lrelu, has_res, x.dtype,
+            lrelu_slope=lrelu_slope, sequential=interpret)
+    else:
+        kernel = _make_kernel(n_win, tm, d_in, pre_lrelu, has_res, x.dtype,
+                              lrelu_slope=lrelu_slope, fuse_k=fuse_k)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),                # x (HBM, DMA'd)

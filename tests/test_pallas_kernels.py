@@ -45,6 +45,34 @@ def test_folded_matmul_interpret(t, d_in, d_out, w, valid, res, lrelu):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("t,w,tm,res,lrelu", [
+    (300, 1, 64, True, True),
+    (129, 2, 128, True, False),
+    (50, 13, 256, False, True),   # tm > t, window wider than the input
+])
+def test_folded_matmul_window_dma_interpret(t, w, tm, res, lrelu):
+    """window_dma variant (interpret runs its same-step sequential form;
+    the cross-step pipeline is validated on-chip by grid_sweep's
+    numerics probe — measured bit-exact vs the accumulate-loop kernel)."""
+    d_in = d_out = 128
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((t, d_in)).astype(np.float32)
+    W = (rng.standard_normal(((2 * w + 1) * d_in, d_out)) * 0.05
+         ).astype(np.float32)
+    b = rng.standard_normal((d_out,)).astype(np.float32)
+    residual = (rng.standard_normal((t, d_out)).astype(np.float32)
+                if res else None)
+    valid = int(t * 0.9)
+    got = folded_matmul(jnp.asarray(x), jnp.asarray(W), jnp.asarray(b), w,
+                        jnp.int32(valid),
+                        residual=None if residual is None
+                        else jnp.asarray(residual),
+                        pre_lrelu=lrelu, tm=tm, tn=128, window_dma=True,
+                        interpret=True)
+    want = _oracle(x, W, b, w, valid, residual, lrelu)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
 def test_layer_norm_fused_matches_reference():
     """Fused LN kernel (interpret): forward bit-parity in bf16 and
     grad parity for x/scale/bias vs the plain-module math."""
