@@ -47,6 +47,9 @@ def main():
                         help="fixed phoneme length for export "
                              "(reference --onnx-insize)")
     parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
+    from efficientspeech_tpu.config import add_arch_args, arch_overrides
+
+    add_arch_args(parser)
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -61,7 +64,8 @@ def main():
         preset=args.preset, checkpoint=args.checkpoint,
         hifigan_checkpoint=args.hifigan_checkpoint
         if os.path.isfile(args.hifigan_checkpoint) else "",
-        dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32)
+        dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
+        model_overrides=arch_overrides(args))
 
     if args.output:
         from efficientspeech_tpu.training.checkpoint import save_params

@@ -43,6 +43,9 @@ def get_args():
     parser.add_argument("--play", action="store_true",
                         help="play audio instead of saving (needs sounddevice)")
     parser.add_argument("--verbose", action="store_true")
+    from efficientspeech_tpu.config import add_arch_args
+
+    add_arch_args(parser)
     return parser.parse_args()
 
 
@@ -90,11 +93,14 @@ def main():
               "using random vocoder weights")
         hifigan_ckpt = ""
 
+    from efficientspeech_tpu.config import arch_overrides
+
     synth = build_synthesizer(
         preset=args.preset, checkpoint=args.checkpoint,
         hifigan_checkpoint=hifigan_ckpt, preprocess_cfg=preprocess_cfg,
         dtype=dtype, transfer=args.transfer, vocoder_mode=args.vocoder,
-        bench_duration_bias=None if args.checkpoint else 6.0)
+        bench_duration_bias=None if args.checkpoint else 6.0,
+        model_overrides=arch_overrides(args))
 
     if args.iter > 1:
         synth.warmup(args.text, iters=args.warmup)

@@ -90,6 +90,35 @@ class ModelConfig:
         return cls(**cfg)
 
 
+# the reference exposes each architecture hyperparameter as its own CLI
+# flag (reference: utils/tools.py:354-389); the named presets cover the
+# published tiers, these let a CLI override any field of a preset — so a
+# custom-size reference checkpoint (e.g. --n-blocks 3 --reduction 2) can
+# be trained/served/exported here with the same flags
+ARCH_FLAGS = ("depth", "reduction", "head", "embed_dim", "kernel_size",
+              "expansion", "n_blocks", "block_depth", "decoder_kernel_size")
+
+
+def add_arch_args(parser):
+    """Add the reference's architecture flags to an argparse parser.
+
+    Defaults are None = "use the --preset value"; a flag that is given
+    overrides that single field of the preset (reference CLI parity:
+    utils/tools.py:354-389)."""
+    group = parser.add_argument_group("architecture overrides")
+    for name in ARCH_FLAGS:
+        group.add_argument("--" + name.replace("_", "-"), type=int,
+                           default=None,
+                           help=f"override the preset's {name}")
+    return parser
+
+
+def arch_overrides(args) -> dict:
+    """Extract the non-None architecture overrides from parsed args."""
+    return {k: getattr(args, k) for k in ARCH_FLAGS
+            if getattr(args, k, None) is not None}
+
+
 @dataclasses.dataclass(frozen=True)
 class HifiGanConfig:
     """HiFi-GAN generator hyperparameters (reference: hifigan/LJ_V2/config.json)."""

@@ -325,6 +325,9 @@ def main():
                              "requests get the exact program (default on)")
     parser.add_argument("--no-bg-compile", dest="bg_compile",
                         action="store_false")
+    from efficientspeech_tpu.config import add_arch_args, arch_overrides
+
+    add_arch_args(parser)
     args = parser.parse_args()
 
     import os
@@ -341,7 +344,8 @@ def main():
         hifigan_checkpoint=args.hifigan_checkpoint
         if os.path.isfile(args.hifigan_checkpoint) else "",
         dtype=jnp.bfloat16, transfer=args.transfer,
-        bench_duration_bias=None if args.checkpoint else 6.0)
+        bench_duration_bias=None if args.checkpoint else 6.0,
+        model_overrides=arch_overrides(args))
     print("warming up ...")
     synth.warmup(args.warmup_text, iters=2)
     # compile the serving-shape ladder up front: every pow2 batch size ×

@@ -49,6 +49,9 @@ def get_args():
                         help="with --device-data: optimizer steps per "
                              "dispatch (lax.scan); amortizes per-dispatch "
                              "overhead on tunneled links")
+    from efficientspeech_tpu.config import add_arch_args
+
+    add_arch_args(parser)
     return parser.parse_args()
 
 
@@ -65,7 +68,8 @@ def main():
     enable_compilation_cache()
 
     from efficientspeech_tpu.config import (
-        HifiGanConfig, ModelConfig, PreprocessConfig, TrainConfig)
+        HifiGanConfig, ModelConfig, PreprocessConfig, TrainConfig,
+        arch_overrides)
     from efficientspeech_tpu.parallel import make_mesh
     from efficientspeech_tpu.training.loop import Trainer
 
@@ -76,7 +80,8 @@ def main():
         pitch_stats=tuple(stats["pitch"][:2]),
         energy_stats=tuple(stats["energy"][:2]),
         max_phoneme_len=args.max_phoneme_len,
-        max_mel_len=args.max_mel_len)
+        max_mel_len=args.max_mel_len,
+        **arch_overrides(args))
     train_cfg = TrainConfig(
         lr=args.lr, weight_decay=args.weight_decay,
         batch_size=args.batch_size, max_epochs=args.max_epochs,
