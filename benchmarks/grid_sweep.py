@@ -53,7 +53,11 @@ def main():
     parser.add_argument("--variants", default=(
         "512:pallas:512,128:xla:0,128:pallas:512,128:pallas:1024,"
         "256:pallas:512"),
-        help="comma list of d_target:mode:tm")
+        help="comma list of d_target:mode:tm; modes: xla, pallas "
+             "(round-3 baseline: f32 activations, unfused stage sum), "
+             "pallasacc (stage-sum+scale fused into kernel epilogues), "
+             "pallasb16 (bf16 inter-op activations), pallasaccb16 "
+             "(both), pallasfk, pallaswd")
     args = parser.parse_args()
 
     enable_compilation_cache()
@@ -81,9 +85,12 @@ def main():
         use_pallas = mode.startswith("pallas")
         fuse_k = mode == "pallasfk"
         win_dma = mode == "pallaswd"
+        fuse_sum = "acc" in mode
+        act_dtype = jnp.bfloat16 if mode.endswith("b16") else None
 
         def make(n_iters, arrays=arrays, meta=meta, use_pallas=use_pallas,
-                 tm=tm, fuse_k=fuse_k, win_dma=win_dma):
+                 tm=tm, fuse_k=fuse_k, win_dma=win_dma, fuse_sum=fuse_sum,
+                 act_dtype=act_dtype):
             @jax.jit
             def chain(mel, vl, seed):
                 def body(i, c):
@@ -92,7 +99,8 @@ def main():
                         arrays, meta, cfg, m, valid_len=vl,
                         dtype=jnp.bfloat16, use_pallas=use_pallas,
                         pallas_tm=tm if tm else 512,
-                        pallas_fuse_k=fuse_k, pallas_window_dma=win_dma)
+                        pallas_fuse_k=fuse_k, pallas_window_dma=win_dma,
+                        fuse_stage_sum=fuse_sum, act_dtype=act_dtype)
                     return c + wav[0, 0] + wav[0, -1]
                 return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
             return chain
@@ -112,13 +120,16 @@ def main():
         # one numerics probe per variant (same seeded perturbation)
         single = jax.jit(lambda m, v, arrays=arrays, meta=meta,
                          use_pallas=use_pallas, tm=tm, fuse_k=fuse_k,
-                         win_dma=win_dma:
+                         win_dma=win_dma, fuse_sum=fuse_sum,
+                         act_dtype=act_dtype:
                          folded_plan_apply(
                              arrays, meta, cfg, m, valid_len=v,
                              dtype=jnp.bfloat16, use_pallas=use_pallas,
                              pallas_tm=tm if tm else 512,
                              pallas_fuse_k=fuse_k,
-                             pallas_window_dma=win_dma))
+                             pallas_window_dma=win_dma,
+                             fuse_stage_sum=fuse_sum,
+                             act_dtype=act_dtype))
         outputs[label] = np.asarray(jax.device_get(single(mel, vl)))
         eff = gflop / ms * 1e3 / 1e3  # TFLOP/s
         print(f"  {label}: {ms:.2f} ms  ({gflop:.0f} GFLOP, "

@@ -299,14 +299,30 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
                       interpret: bool = False,
                       pallas_tm: int = 512,
                       pallas_fuse_k: bool = False,
-                      pallas_window_dma: bool = False) -> jnp.ndarray:
+                      pallas_window_dma: bool = False,
+                      fuse_stage_sum: bool = True,
+                      act_dtype=None,
+                      fuse_mrf: bool = False,
+                      mrf_tm: int = 512) -> jnp.ndarray:
     """Run the re-gridded folded generator.  ``arrays``/``meta`` from
     fold_hifigan_device.  Exactly equivalent to HifiGanGenerator with
     row-level (frame-aligned) masking.
 
     pallas_tm: kernel tile height.  512 measured fastest at every serving
     shape (2048/3072/4096 frames: 4.82/8.76/11.74 ms vs 5.32/8.94/11.92 at
-    tm=256; benchmarks/compute_sweep.py)."""
+    tm=256; benchmarks/compute_sweep.py).
+
+    fuse_stage_sum (pallas path): fold the per-stage resblock sum
+    ``xs = xs + v`` and the ``/ num_kernels`` epilogue into the final conv
+    kernel of each resblock (second residual operand + output scale) —
+    the standalone XLA elementwise passes between opaque kernels are pure
+    HBM traffic (~0.5 GB/apply at 3072 frames in f32).
+
+    act_dtype: inter-op activation dtype on the pallas path (default f32).
+    The matmuls are one-pass bf16 on the MXU either way (DEFAULT
+    precision); bf16 activations halve kernel DMA traffic at a per-op
+    rounding cost (the serving wire codec floor is ~26 dB SNR, far below
+    the bf16 activation noise — see docs/DESIGN.md)."""
     widths = dict(meta["widths"])
     reshape = dict(meta["reshape"])
     valid_mult = dict(meta["valid_mult"])
@@ -314,13 +330,16 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
     # activations stay f32; ``dtype`` selects the matmul input precision
     x = mel.astype(jnp.float32)
     b = x.shape[0]
+    if act_dtype is None:
+        act_dtype = jnp.float32
 
     if use_pallas:
         from efficientspeech_tpu.ops.pallas.folded_matmul import folded_matmul
 
         assert b == 1, "pallas folded path is single-utterance"
 
-    def apply_op(inp, key, pre_lrelu, slope=LRELU_SLOPE, residual=None):
+    def apply_op(inp, key, pre_lrelu, slope=LRELU_SLOPE, residual=None,
+                 accum=None, out_scale=None):
         W, bb = arrays[key]
         w = widths[key]
         if valid_len is not None:
@@ -333,10 +352,14 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
         if use_pallas and d_in % 128 == 0:
             vl = (vrows[0] if vrows is not None
                   else jnp.int32(inp.shape[1]))
-            out = folded_matmul(inp[0], W.astype(dtype), bb.astype(dtype),
+            out = folded_matmul(inp[0].astype(act_dtype),
+                                W.astype(dtype), bb.astype(dtype),
                                 w, vl,
                                 residual=None if residual is None
-                                else residual[0],
+                                else residual[0].astype(act_dtype),
+                                accum=None if accum is None
+                                else accum[0].astype(act_dtype),
+                                out_scale=out_scale,
                                 pre_lrelu=pre_lrelu, lrelu_slope=slope,
                                 tm=pallas_tm, fuse_k=pallas_fuse_k,
                                 window_dma=pallas_window_dma,
@@ -348,6 +371,10 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
             out = _folded_apply(src, (W, bb, w), dtype)
             if residual is not None:
                 out = out + residual
+            if accum is not None:
+                out = out + accum
+            if out_scale is not None:
+                out = out * out_scale
             if vrows is not None:
                 t = out.shape[1]
                 keep = (jnp.arange(t, dtype=jnp.int32)[None, :]
@@ -359,20 +386,43 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
             out = out.reshape(bb_, t_ * split, d_ // split)
         return out
 
+    fuse_sum = fuse_stage_sum and use_pallas
     x = apply_op(x, "pre", pre_lrelu=False)
     for i in range(len(cfg.upsample_rates)):
         x = apply_op(x, f"up{i}", pre_lrelu=True)
+        if fuse_mrf and use_pallas and x.shape[2] % 128 == 0:
+            # whole-stage MRF (18 convs + residuals + sum + /num_kernels)
+            # as ONE kernel: per-stage HBM traffic collapses to one
+            # read + one write of the activations
+            from efficientspeech_tpu.ops.pallas.mrf_block import (
+                build_mrf_spec, mrf_fused)
+
+            chains, W_all, b_all, H = build_mrf_spec(
+                arrays, widths, i, cfg.resblock_dilation_sizes)
+            vrows = (valid_len * valid_mult[f"rb{i}_0_c1_0"]
+                     if valid_len is not None else None)
+            vl = (vrows[0] if vrows is not None
+                  else jnp.int32(x.shape[1]))
+            x = mrf_fused(x[0].astype(act_dtype), chains,
+                          W_all.astype(dtype), b_all.astype(dtype), H, vl,
+                          num_kernels, tm=mrf_tm,
+                          interpret=interpret)[None]
+            continue
         xs = None
         for j, rd in enumerate(cfg.resblock_dilation_sizes):
             v = x
             for m in range(len(rd)):
+                last = fuse_sum and m == len(rd) - 1
                 t1 = apply_op(v, f"rb{i}_{j}_c1_{m}", pre_lrelu=True)
-                v = apply_op(t1, f"rb{i}_{j}_c2_{m}", pre_lrelu=True,
-                             residual=v)
-            xs = v if xs is None else xs + v
-        x = xs / num_kernels
+                v = apply_op(
+                    t1, f"rb{i}_{j}_c2_{m}", pre_lrelu=True, residual=v,
+                    accum=xs if (last and xs is not None) else None,
+                    out_scale=(1.0 / num_kernels
+                               if last and j == num_kernels - 1 else None))
+            xs = v if (xs is None or fuse_sum) else xs + v
+        x = xs if fuse_sum else xs / num_kernels
     x = apply_op(x, "post", pre_lrelu=True, slope=0.01)
-    x = jnp.tanh(x)
+    x = jnp.tanh(x.astype(jnp.float32))
     b_, t_, d_ = x.shape
     return x.reshape(b_, t_ * d_)
 

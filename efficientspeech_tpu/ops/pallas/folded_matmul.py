@@ -46,21 +46,29 @@ def _round8(x):
 
 
 def _make_kernel(n_win, tm, d_in, pre_lrelu, has_residual, out_dtype,
-                 lrelu_slope=LRELU_SLOPE, fuse_k=False):
+                 lrelu_slope=LRELU_SLOPE, fuse_k=False, has_accum=False,
+                 out_scale=None):
     # Mosaic requires DMA slice lengths 8-aligned on the sublane dim
     slice_rows = _round8(tm + n_win - 1)
 
     def kernel(valid_ref, x_hbm, w_ref, b_ref, *rest):
-        if has_residual:
-            res_ref, o_ref = rest
-        else:
-            (o_ref,) = rest
+        rest = list(rest)
+        res_ref = rest.pop(0) if has_residual else None
+        acc_ref = rest.pop(0) if has_accum else None
+        (o_ref,) = rest
         i = pl.program_id(0)
 
         def epilogue(acc):
             acc += b_ref[0, :].astype(jnp.float32)
             if has_residual:
                 acc += res_ref[:].astype(jnp.float32)
+            if has_accum:
+                # second residual: running resblock sum (xs) fused into the
+                # final conv of each resblock — removes the standalone
+                # xs+v elementwise HBM passes between kernels
+                acc += acc_ref[:].astype(jnp.float32)
+            if out_scale is not None:
+                acc *= out_scale
             valid = valid_ref[0]
             rows = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0) + i * tm
             acc = jnp.where(rows < valid, acc, 0.0)
@@ -223,6 +231,8 @@ def _make_kernel_window_dma(n_win, tm, d_in, grid_t, pre_lrelu, has_residual,
 def folded_matmul(x: jnp.ndarray, W: jnp.ndarray, b: jnp.ndarray, w: int,
                   valid_len: jnp.ndarray,
                   residual: Optional[jnp.ndarray] = None,
+                  accum: Optional[jnp.ndarray] = None,
+                  out_scale: Optional[float] = None,
                   pre_lrelu: bool = False,
                   lrelu_slope: float = LRELU_SLOPE,
                   tm: int = 256, tn: int = 512,
@@ -233,6 +243,9 @@ def folded_matmul(x: jnp.ndarray, W: jnp.ndarray, b: jnp.ndarray, w: int,
 
     W ((2w+1)*D_in, D_out), b (D_out,), valid_len scalar int32.
     residual: optional (T, D_out) added before masking.
+    accum: optional SECOND (T, D_out) residual (the running resblock sum),
+    added after ``residual``; out_scale: optional scalar applied after all
+    adds (fuses the / num_kernels stage epilogue).
     """
     t, d_in = x.shape
     d_out = W.shape[1]
@@ -254,16 +267,22 @@ def folded_matmul(x: jnp.ndarray, W: jnp.ndarray, b: jnp.ndarray, w: int,
     W = W.astype(x.dtype)
 
     has_res = residual is not None
+    has_acc = accum is not None
     if has_res and t_pad != t:
         residual = jnp.pad(residual, ((0, t_pad - t), (0, 0)))
+    if has_acc and t_pad != t:
+        accum = jnp.pad(accum, ((0, t_pad - t), (0, 0)))
 
     if window_dma and tn == d_out:
+        assert not has_acc and out_scale is None, \
+            "window_dma variant does not implement accum/out_scale"
         kernel = _make_kernel_window_dma(
             n_win, tm, d_in, grid_t, pre_lrelu, has_res, x.dtype,
             lrelu_slope=lrelu_slope, sequential=interpret)
     else:
         kernel = _make_kernel(n_win, tm, d_in, pre_lrelu, has_res, x.dtype,
-                              lrelu_slope=lrelu_slope, fuse_k=fuse_k)
+                              lrelu_slope=lrelu_slope, fuse_k=fuse_k,
+                              has_accum=has_acc, out_scale=out_scale)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),                # x (HBM, DMA'd)
@@ -277,6 +296,10 @@ def folded_matmul(x: jnp.ndarray, W: jnp.ndarray, b: jnp.ndarray, w: int,
         in_specs.append(pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j),
                                      memory_space=pltpu.VMEM))
         args.append(residual.astype(x.dtype))
+    if has_acc:
+        in_specs.append(pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j),
+                                     memory_space=pltpu.VMEM))
+        args.append(accum.astype(x.dtype))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

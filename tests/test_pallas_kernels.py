@@ -9,7 +9,8 @@ import jax.numpy as jnp
 from efficientspeech_tpu.ops.pallas.folded_matmul import folded_matmul
 
 
-def _oracle(x, W, b, w, valid, residual=None, pre_lrelu=False):
+def _oracle(x, W, b, w, valid, residual=None, pre_lrelu=False,
+            accum=None, out_scale=None):
     t = x.shape[0]
     if pre_lrelu:
         x = np.where(x >= 0, x, x * 0.1)
@@ -18,6 +19,10 @@ def _oracle(x, W, b, w, valid, residual=None, pre_lrelu=False):
     y = window @ W + b
     if residual is not None:
         y = y + residual
+    if accum is not None:
+        y = y + accum
+    if out_scale is not None:
+        y = y * out_scale
     y[valid:] = 0.0
     return y
 
@@ -42,6 +47,33 @@ def test_folded_matmul_interpret(t, d_in, d_out, w, valid, res, lrelu):
                         else jnp.asarray(residual),
                         pre_lrelu=lrelu, tm=32, tn=128, interpret=True)
     want = _oracle(x, W, b, w, valid, residual, lrelu)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("t,d_in,d_out,w,valid,res,scale", [
+    (64, 128, 128, 1, 50, True, None),      # accum only
+    (64, 128, 128, 1, 64, True, 1.0 / 3),   # accum + stage-sum scale
+    (100, 128, 128, 2, 77, False, 0.5),     # accum without residual
+])
+def test_folded_matmul_accum_interpret(t, d_in, d_out, w, valid, res, scale):
+    """Second-residual (stage-sum) + output-scale epilogue vs the oracle —
+    the fused xs+v / num_kernels path of folded_plan_apply."""
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((t, d_in)).astype(np.float32)
+    W = (rng.standard_normal(((2 * w + 1) * d_in, d_out)) * 0.05
+         ).astype(np.float32)
+    b = rng.standard_normal((d_out,)).astype(np.float32)
+    residual = (rng.standard_normal((t, d_out)).astype(np.float32)
+                if res else None)
+    accum = rng.standard_normal((t, d_out)).astype(np.float32)
+
+    got = folded_matmul(jnp.asarray(x), jnp.asarray(W), jnp.asarray(b), w,
+                        jnp.int32(valid),
+                        residual=None if residual is None
+                        else jnp.asarray(residual),
+                        accum=jnp.asarray(accum), out_scale=scale,
+                        pre_lrelu=True, tm=32, tn=128, interpret=True)
+    want = _oracle(x, W, b, w, valid, residual, True, accum, scale)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
