@@ -164,9 +164,6 @@ def main():
                                synth.params["phoneme2mel"])
         use_pallas = args.vocoder == "folded_pallas"
         fmt = args.transfer
-        # mirror the Synthesizer's serving policy: bf16 inter-op vocoder
-        # activations when the wire codec is lossier than they are
-        act = jnp.bfloat16 if synth.vocoder_act_bf16 else None
         first = int(phoneme_np[0, 0])
         alt = 3 if first == 2 else 2  # must differ, or XLA hoists the body
 
@@ -179,11 +176,13 @@ def main():
                     pred = model.apply({"params": p}, ph, ph == 0,
                                        train=False)
                     mel_len = jnp.minimum(pred["mel_len"], spec)
+                    # MRF-fused vocoder, f32 activations (exact + fastest;
+                    # mirrors the Synthesizer's serving configuration)
                     w = folded_plan_apply(arrs, meta, synth.hifigan_cfg,
                                           pred["mel"], valid_len=mel_len,
                                           dtype=synth.dtype,
                                           use_pallas=use_pallas,
-                                          act_dtype=act, pallas_tm=1024)
+                                          fuse_mrf=use_pallas)
                     pcm = encode_device(w, fmt)
                     return c + pcm[0, 0].astype(jnp.float32) \
                         + mel_len[0].astype(jnp.float32)

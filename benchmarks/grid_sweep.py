@@ -86,11 +86,12 @@ def main():
         fuse_k = mode == "pallasfk"
         win_dma = mode == "pallaswd"
         fuse_sum = "acc" in mode
+        fuse_mrf = "mrf" in mode
         act_dtype = jnp.bfloat16 if mode.endswith("b16") else None
 
         def make(n_iters, arrays=arrays, meta=meta, use_pallas=use_pallas,
                  tm=tm, fuse_k=fuse_k, win_dma=win_dma, fuse_sum=fuse_sum,
-                 act_dtype=act_dtype):
+                 act_dtype=act_dtype, fuse_mrf=fuse_mrf):
             @jax.jit
             def chain(mel, vl, seed):
                 def body(i, c):
@@ -100,7 +101,8 @@ def main():
                         dtype=jnp.bfloat16, use_pallas=use_pallas,
                         pallas_tm=tm if tm else 512,
                         pallas_fuse_k=fuse_k, pallas_window_dma=win_dma,
-                        fuse_stage_sum=fuse_sum, act_dtype=act_dtype)
+                        fuse_stage_sum=fuse_sum, act_dtype=act_dtype,
+                        fuse_mrf=fuse_mrf, mrf_tm=tm if tm else 512)
                     return c + wav[0, 0] + wav[0, -1]
                 return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
             return chain
@@ -121,7 +123,7 @@ def main():
         single = jax.jit(lambda m, v, arrays=arrays, meta=meta,
                          use_pallas=use_pallas, tm=tm, fuse_k=fuse_k,
                          win_dma=win_dma, fuse_sum=fuse_sum,
-                         act_dtype=act_dtype:
+                         act_dtype=act_dtype, fuse_mrf=fuse_mrf:
                          folded_plan_apply(
                              arrays, meta, cfg, m, valid_len=v,
                              dtype=jnp.bfloat16, use_pallas=use_pallas,
@@ -129,7 +131,8 @@ def main():
                              pallas_fuse_k=fuse_k,
                              pallas_window_dma=win_dma,
                              fuse_stage_sum=fuse_sum,
-                             act_dtype=act_dtype))
+                             act_dtype=act_dtype,
+                             fuse_mrf=fuse_mrf, mrf_tm=tm if tm else 512))
         outputs[label] = np.asarray(jax.device_get(single(mel, vl)))
         eff = gflop / ms * 1e3 / 1e3  # TFLOP/s
         print(f"  {label}: {ms:.2f} ms  ({gflop:.0f} GFLOP, "

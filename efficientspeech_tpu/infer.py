@@ -79,13 +79,14 @@ class Synthesizer:
         self.vocoder_mode = vocoder_mode
         self.fused_pipeline = fused_pipeline
         self.transfer = transfer
-        # vocoder activation-precision policy: activation precision must
-        # never be the quality bottleneck, nothing more — bf16 inter-op
-        # activations (~42 dB SNR vs the f32 path, and ~25% faster: they
-        # halve the HBM-bound kernel's DMA traffic) are enabled only when
-        # the wire codec is already lossier (adpcm ~26 dB, mulaw ~30 dB);
-        # bit-exact transfers (int16/f32) keep f32 activations
-        self.vocoder_act_bf16 = transfer in ("mulaw", "adpcm4", "adpcm3")
+        # vocoder activation-precision note: bf16 inter-op activations
+        # (~42 dB SNR vs f32) were measured as a win for the PER-OP
+        # kernels (they halve the HBM-bound DMA traffic), but the
+        # whole-stage MRF fused kernel made the tradeoff moot — with one
+        # HBM read/write per stage, f32 activations are both EXACT and
+        # fastest (2.40 vs 3.28 ms at 3072 frames), so serving keeps f32
+        # everywhere regardless of the wire codec
+        self.vocoder_act_bf16 = False
         self.spec_expansion = spec_expansion
         self.spec_min_frames = SPEC_MIN_FRAMES
         self.fetch_chunk_frames = FETCH_CHUNK_FRAMES
@@ -195,25 +196,26 @@ class Synthesizer:
                 # kernel over rows (shape is static per trace — free branch)
                 up = use_pallas and out_frames >= 2048
                 # measured on-chip (grid_sweep, 3072 frames, same-window):
-                # stage-sum fusion + bf16 activations + tm=1024 run 3.91 ms
-                # vs 5.19 for the round-3 f32/tm512 kernel path
-                act = jnp.bfloat16 if self.vocoder_act_bf16 else None
-                ptm = 1024
+                # the whole-stage MRF fused kernel at f32 activations runs
+                # 2.40 ms (89% of bf16 MXU peak) vs 4.29 for the per-op
+                # kernel with bf16 activations and 5.19 for the round-3
+                # f32/tm512 config — AND is numerically exact vs the
+                # op-by-op f32 path (bf16 activations are slower inside
+                # the fused kernel: VMEM conversions cost more than the
+                # now-eliminated HBM traffic they used to save)
                 if up and phoneme.shape[0] > 1:
                     def _one(args):
                         m, l = args
                         return folded_plan_apply(
                             arrs, meta, cfg, m[None], valid_len=l[None],
                             dtype=dtype, use_pallas=True,
-                            act_dtype=act, pallas_tm=ptm)[0]
+                            fuse_mrf=True)[0]
 
                     wav = jax.lax.map(_one, (pred["mel"], mel_len))
                 else:
                     wav = folded_plan_apply(arrs, meta, cfg, pred["mel"],
                                             valid_len=mel_len, dtype=dtype,
-                                            use_pallas=up,
-                                            act_dtype=act if up else None,
-                                            pallas_tm=ptm)
+                                            use_pallas=up, fuse_mrf=up)
                 pcm = encode_device(wav, fmt)
                 # return the PCM as per-row arrays: the relay transfers
                 # ~1 MB arrays ~1.5× faster (and far more predictably)
@@ -471,14 +473,12 @@ class Synthesizer:
 
                 @jax.jit
                 def vocode_impl(arrs, mel, mel_len):
-                    # int16 output is the bit-exact fidelity path: f32
-                    # activations; the (numerically exact) stage-sum
-                    # fusion + tm=1024 still apply (4.58 vs 5.19 ms
-                    # measured same-window at 3072 frames)
+                    # MRF fusion keeps f32 activations (exact vs the
+                    # op-by-op path) and runs at ~89% of MXU peak
                     wav = folded_plan_apply(arrs, meta, cfg, mel,
                                             valid_len=mel_len, dtype=dtype,
                                             use_pallas=use_pallas,
-                                            pallas_tm=1024)
+                                            fuse_mrf=use_pallas)
                     # 16-bit PCM on device: halves the device→host transfer
                     # (int16 is the final wav format anyway)
                     return jnp.clip(wav.astype(jnp.float32) * 32768.0,

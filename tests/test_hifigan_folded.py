@@ -195,3 +195,14 @@ def test_plan_apply_fused_stage_sum_and_bf16_activations():
     # adpcm4 wire floor ~26 dB, mulaw ~30 dB; bf16 activations measured
     # ~42 dB on random weights (and the serving default stays f32)
     assert snr > 35.0, snr
+
+    # whole-stage MRF fused kernel (ops/pallas/mrf_block.py): 18 convs +
+    # residuals + stage sum + /num_kernels in one program per stage —
+    # near-exact vs the op-by-op path in f32, rounding-level in bf16
+    mrf = run(fuse_mrf=True, mrf_tm=32)
+    np.testing.assert_allclose(mrf, base, atol=1e-6)
+    mrfb = run(fuse_mrf=True, mrf_tm=32, act_dtype=jnp.bfloat16)
+    err = mrfb - base
+    snr = 10 * np.log10(float((base ** 2).mean())
+                        / max(float((err ** 2).mean()), 1e-30))
+    assert snr > 35.0, snr
