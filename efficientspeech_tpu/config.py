@@ -64,6 +64,10 @@ class ModelConfig:
     # learned speaker embedding to the fused encoder features
     # (FastSpeech2-style).  1 = no extra parameters, checkpoint-compatible.
     n_speakers: int = 1
+    # embedding rows; None = the default English inventory (VOCAB_SIZE).
+    # A Tagalog (t1) model sets text.symbols.TAGALOG_VOCAB_SIZE after
+    # text.enable_tagalog_symbols().
+    vocab_size: int = None
 
     @property
     def filter_dim(self) -> int:

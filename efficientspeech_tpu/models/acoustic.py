@@ -197,8 +197,8 @@ class Encoder(nn.Module):
         dim_ins, dim_outs, heads, kernels, strides, paddings, lengths, pools = \
             encoder_stage_geometry(cfg, phoneme.shape[1])
 
-        x = Embedding(VOCAB_SIZE, cfg.embed_dim, dtype=self.dtype,
-                      name="embed")(phoneme)
+        x = Embedding(cfg.vocab_size or VOCAB_SIZE, cfg.embed_dim,
+                      dtype=self.dtype, name="embed")(phoneme)
         features, masks = [], []
         for i in range(cfg.depth):
             stage_mask = pool_pad_mask(pad_mask, pools[i], lengths[i],

@@ -9,10 +9,25 @@ import re
 from typing import Iterable, List, Sequence
 
 from efficientspeech_tpu.text import cleaners as _cleaners_mod
-from efficientspeech_tpu.text.symbols import symbols
+from efficientspeech_tpu.text.symbols import symbols, symbols_tagalog
 
 _symbol_to_id = {s: i for i, s in enumerate(symbols)}
 _id_to_symbol = {i: s for i, s in enumerate(symbols)}
+
+
+def enable_tagalog_symbols() -> int:
+    """Activate the Tagalog phone inventory (appended AFTER the default
+    set — existing IDs unchanged, so English checkpoints stay valid).
+
+    The reference ships these phones commented out of its symbol table
+    (reference: text/symbols.py:28), which makes its ``t1`` inference
+    path drop every lexicon phone at tokenization; this opt-in repairs
+    that.  Returns the extended vocab size (embedding rows).
+    """
+    for i, s in enumerate(symbols_tagalog):
+        _symbol_to_id.setdefault(s, i)
+        _id_to_symbol.setdefault(i, s)
+    return len(symbols_tagalog) + 1
 
 _curly_re = re.compile(r"(.*?)\{(.+?)\}(.*)")
 

@@ -5,8 +5,10 @@ lexicon lookup first, then a fallback for out-of-vocabulary words.  The
 reference falls back to the ``g2p_en`` neural G2P; that package is optional
 here — when absent, a self-contained rule-based letter-to-sound fallback is
 used (documented approximation: lexicon entries cover the vast majority of
-running words).  For the Tagalog ``t1`` language, OOV words fall back to
-character level, same as the reference (reference: synthesize.py:44-45).
+running words).  For the Tagalog ``t1`` language, OOV words go through a
+rule G2P over the isip phone inventory (text/tagalog_g2p.py) — the
+reference falls back to raw characters (reference: synthesize.py:44-45)
+which its shipped symbol table then drops at tokenization.
 """
 
 import re
@@ -642,12 +644,24 @@ def get_lexicon_and_g2p(preprocess_config) -> tuple:
     """(lexicon dict, g2p callable) for a PreprocessConfig or raw dict."""
     if hasattr(preprocess_config, "lexicon_path"):
         lex_path = preprocess_config.lexicon_path
+        lang = getattr(preprocess_config, "language", "en")
     else:
         lex_path = preprocess_config["path"]["lexicon_path"]
+        lang = preprocess_config["preprocessing"]["text"]["language"]
     try:
         lexicon = read_lexicon(lex_path)
     except (FileNotFoundError, IsADirectoryError):
         lexicon = {}
+    if lang == "t1":
+        # Tagalog front door: activate the phone inventory (the
+        # reference ships it commented out of the symbol table, so its
+        # t1 phones vanish at tokenization) and serve OOV words from the
+        # rule G2P instead of raw characters
+        from efficientspeech_tpu.text import enable_tagalog_symbols
+        from efficientspeech_tpu.text.tagalog_g2p import tagalog_g2p
+
+        enable_tagalog_symbols()
+        return lexicon, tagalog_g2p
     return lexicon, G2p()
 
 
@@ -683,7 +697,12 @@ def text2phoneme(lexicon: Dict[str, List[str]], g2p, text: str,
         if wl in lexicon:
             phones += lexicon[wl]
         elif lang == "t1":
-            phones += list(wl)
+            # rule G2P over the isip phone inventory (the reference
+            # falls back to raw characters here, synthesize.py:44-45,
+            # which its shipped symbol table then drops entirely)
+            from efficientspeech_tpu.text.tagalog_g2p import tagalog_g2p
+
+            phones += tagalog_g2p(wl) or list(wl)
         else:
             phones += list(filter(lambda p: p != " ", g2p(w)))
     phones_str = "{" + "}{".join(phones) + "}"

@@ -32,3 +32,12 @@ symbols = (
 
 PAD_ID = 0
 VOCAB_SIZE = len(symbols) + 1  # embedding rows (reference: layers/networks.py:32)
+
+# Opt-in Tagalog extension: the reference ships the Tagalog inventory
+# commented OUT of the symbol set (text/symbols.py:28), so its isip path
+# silently drops every phone at tokenization.  Here the phones append
+# AFTER the default inventory — English IDs (and checkpoint parity) are
+# untouched; a Tagalog model simply sizes its embedding to
+# TAGALOG_VOCAB_SIZE (ModelConfig.vocab_size).
+symbols_tagalog = symbols + _tagalog
+TAGALOG_VOCAB_SIZE = len(symbols_tagalog) + 1
