@@ -63,6 +63,37 @@ def test_folded_matmul_compiled():
                                rtol=5e-3, atol=2.5e-2)
 
 
+def test_mrf_fused_compiled():
+    """Compiled whole-stage MRF kernel vs the op-by-op folded path at a
+    small-but-real shape (d128 grid, full LJ_V2 MRF structure)."""
+    from efficientspeech_tpu.config import HifiGanConfig
+    from efficientspeech_tpu.models.hifigan import HifiGanGenerator
+    from efficientspeech_tpu.models.hifigan_folded import (
+        fold_hifigan_device, folded_plan_apply)
+    from efficientspeech_tpu.utils.host_init import host_init
+
+    cfg = HifiGanConfig()
+    gen = HifiGanGenerator(cfg, dtype=jnp.float32)
+    params = host_init(lambda: gen.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 4, 80)))["params"], seed=1)
+    arrays, meta = fold_hifigan_device(params, cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(3)
+    t = 64
+    mel = jnp.asarray(rng.normal(-3, 2, size=(1, t, 80)), jnp.float32)
+    vl = jnp.asarray([int(t * 0.9)])
+
+    base = jax.device_get(jax.jit(lambda m: folded_plan_apply(
+        arrays, meta, cfg, m, valid_len=vl, dtype=jnp.bfloat16,
+        use_pallas=True, fuse_stage_sum=False, pallas_tm=256))(mel))
+    mrf = jax.device_get(jax.jit(lambda m: folded_plan_apply(
+        arrays, meta, cfg, m, valid_len=vl, dtype=jnp.bfloat16,
+        use_pallas=True, fuse_mrf=True, mrf_tm=256))(mel))
+    # f32 activations through identical per-tap dot order: near-exact
+    np.testing.assert_allclose(np.asarray(mrf, np.float32),
+                               np.asarray(base, np.float32), atol=1e-5)
+
+
 def test_layer_norm_fused_compiled():
     """Compiled fused-LN kernel: bf16 forward parity + f32 grad parity."""
     from efficientspeech_tpu.ops.pallas.layer_norm import layer_norm_fused
