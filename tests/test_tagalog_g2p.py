@@ -80,9 +80,10 @@ def test_t1_front_door_produces_phone_ids():
                     reason="reference isip lexicon not on disk")
 def test_rule_g2p_accuracy_vs_isip_lexicon():
     """Held-out eval: the rules were fit on orthographic CONVENTIONS,
-    not per-word entries.  Bound: word accuracy >= 0.65, PER <= 0.10
-    (measured 0.676 / 0.088; ~40% of failures are English loanwords
-    transcribed with English phones, unreachable by Tagalog rules)."""
+    not per-word entries.  Bound: word accuracy >= 0.67, PER <= 0.09
+    (measured 0.689 / 0.078; the failures are Filipino-accented English
+    loanword transcriptions and lexicon-internal glottal-q
+    inconsistency, unreachable by letter-to-sound rules)."""
     from efficientspeech_tpu.text.tagalog_g2p import tagalog_g2p
 
     entries = []
@@ -106,5 +107,5 @@ def test_rule_g2p_accuracy_vs_isip_lexicon():
         per_den += len(ref)
     acc = exact / len(entries)
     per = per_num / per_den
-    assert acc >= 0.65, acc
-    assert per <= 0.10, per
+    assert acc >= 0.67, acc
+    assert per <= 0.09, per
