@@ -29,16 +29,29 @@ def bench_ours(preset: str, text: str, iters: int):
                               hifigan_checkpoint="/root/reference/hifigan/LJ_V2/generator_v2",
                               dtype=jnp.bfloat16, bench_duration_bias=6.0)
     synth.warmup(text, iters=5)
-    rtfs, mrtfs = [], []
+    rtfs = []
+    voice_secs = 1.0
     for _ in range(iters):
-        _, info = synth.tts(text)
+        wav, info = synth.tts(text)
         rtfs.append(info["rtf"])
-    return {
+        voice_secs = info["voice_secs"]
+    row = {
         "preset": preset,
         "params_acoustic": count_params(synth.params["phoneme2mel"]),
         "params_vocoder": count_params(synth.params["hifigan"]),
         "rtf": round(float(np.mean(rtfs)), 1),
     }
+    # FLOPs of the compiled serving program (fvcore analogue,
+    # reference: nemo/benchmark.py:191-202): count at the routed shape
+    seq = synth.phonemize(text)
+    _, _, bucket = synth._pad_to_bucket(seq)
+    frames = synth._spec_frames(len(seq), bucket)
+    cost = synth.cost_analysis(bucket, frames)
+    if cost and cost.get("flops"):
+        row["gflops_per_synthesis"] = round(cost["flops"] / 1e9, 2)
+        row["gflops_per_voice_sec"] = round(
+            cost["flops"] / 1e9 / voice_secs, 2)
+    return row
 
 
 def bench_torch_reference(text: str, iters: int):

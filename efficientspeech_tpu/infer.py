@@ -325,6 +325,31 @@ class Synthesizer:
         jitfn.lower(*args).compile()
         self._warm_shapes.add((batch, bucket, frames))
 
+    def cost_analysis(self, bucket: int, frames: int, batch: int = 1):
+        """XLA cost analysis of the fused text→wav program at one shape:
+        {"flops": ..., "bytes accessed": ...} (keys backend-dependent).
+
+        The TPU-native analogue of the reference's fvcore FLOP counting
+        (reference: nemo/benchmark.py:191-202) — the count comes from the
+        compiled serving program itself, so folding/speculation/wire
+        encoding are all included.  Returns None when the backend does
+        not expose an analysis (some remote plugins)."""
+        self._get_fused(bucket, frames)
+        key = ("fused", self.vocoder_mode, self.transfer, bucket, frames)
+        jitfn = self._jit_objs[key]
+        flat = self._packed_folded[0]
+        args = [jax.ShapeDtypeStruct(flat.shape, flat.dtype),
+                jax.ShapeDtypeStruct((batch, bucket), jnp.int32)]
+        if self.cfg.n_speakers > 1:
+            args.append(jax.ShapeDtypeStruct((batch,), jnp.int32))
+        try:
+            cost = jitfn.lower(*args).compile().cost_analysis()
+        except Exception:
+            return None
+        if isinstance(cost, (list, tuple)):  # older jax: one dict per device
+            cost = cost[0] if cost else None
+        return dict(cost) if cost else None
+
     def _fetch_single_pcm(self, parts, mel_len_arr, n_valid: int,
                           out_frames: int):
         """Fetch mel_len plus only the PCM chunks that cover it.

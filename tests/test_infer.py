@@ -216,3 +216,16 @@ def test_aot_compile_marks_shape_warm():
     wav, info = s.tts("hello world")   # routed into the AOT-compiled shape
     assert len(wav) == info["mel_len"] * 256
     assert np.isfinite(wav).all()
+
+
+def test_cost_analysis_reports_flops(synth):
+    """cost_analysis (fvcore analogue, reference: nemo/benchmark.py:191-202)
+    exposes the compiled serving program's FLOPs at a given shape."""
+    frames = synth._spec_frames(16, 16)
+    cost = synth.cost_analysis(16, frames)
+    if cost is None:
+        pytest.skip("backend exposes no cost analysis")
+    assert cost.get("flops", 0) > 1e6  # vocoder matmuls dominate
+    # more frames => more vocoder work
+    cost2 = synth.cost_analysis(16, frames * 2)
+    assert cost2["flops"] > cost["flops"]
