@@ -199,8 +199,11 @@ def fold_hifigan_device(params: Dict, cfg: HifiGanConfig, dtype=jnp.bfloat16,
     Returns ({key: (W, b)}, meta) where meta carries the static plan:
     window widths, post-up reshape factors, and per-key valid-row
     multipliers (rows per mel frame at that op's output grid).
+
+    Both resblock types fold: "1" (V1/V2 configs, conv1/conv2 pairs) and
+    "2" (the LJ_V3 config's lighter block, one residual conv per
+    dilation — reference: hifigan/models.py:60-81).
     """
-    assert cfg.resblock == "1"
 
     ch, rate, g, rows_per_frame = make_grid_plan(cfg, d_target)
 
@@ -225,14 +228,23 @@ def fold_hifigan_device(params: Dict, cfg: HifiGanConfig, dtype=jnp.bfloat16,
         for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
                                          cfg.resblock_dilation_sizes)):
             for m, d in enumerate(rd):
-                e1, w1 = _conv_entries(rk, g[i], d, (rk * d - d) // 2)
-                specs[f"rb{i}_{j}_c1_{m}"] = (
-                    (f"resblock_{i}_{j}", f"conv1_{m}"), e1, w1, g[i], g[i])
-                valid_mult[f"rb{i}_{j}_c1_{m}"] = rows_per_frame[i]
-                e2, w2 = _conv_entries(rk, g[i], 1, (rk - 1) // 2)
-                specs[f"rb{i}_{j}_c2_{m}"] = (
-                    (f"resblock_{i}_{j}", f"conv2_{m}"), e2, w2, g[i], g[i])
-                valid_mult[f"rb{i}_{j}_c2_{m}"] = rows_per_frame[i]
+                if cfg.resblock == "1":
+                    e1, w1 = _conv_entries(rk, g[i], d, (rk * d - d) // 2)
+                    specs[f"rb{i}_{j}_c1_{m}"] = (
+                        (f"resblock_{i}_{j}", f"conv1_{m}"), e1, w1,
+                        g[i], g[i])
+                    valid_mult[f"rb{i}_{j}_c1_{m}"] = rows_per_frame[i]
+                    e2, w2 = _conv_entries(rk, g[i], 1, (rk - 1) // 2)
+                    specs[f"rb{i}_{j}_c2_{m}"] = (
+                        (f"resblock_{i}_{j}", f"conv2_{m}"), e2, w2,
+                        g[i], g[i])
+                    valid_mult[f"rb{i}_{j}_c2_{m}"] = rows_per_frame[i]
+                else:  # "2": one residual conv per dilation
+                    e1, w1 = _conv_entries(rk, g[i], d, (rk * d - d) // 2)
+                    specs[f"rb{i}_{j}_c_{m}"] = (
+                        (f"resblock_{i}_{j}", f"conv_{m}"), e1, w1,
+                        g[i], g[i])
+                    valid_mult[f"rb{i}_{j}_c_{m}"] = rows_per_frame[i]
         g_prev = g[i]
     specs["post"] = ("conv_post", *_conv_entries(7, g[-1], 1, 3),
                      g[-1], g[-1])
@@ -390,7 +402,8 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
     x = apply_op(x, "pre", pre_lrelu=False)
     for i in range(len(cfg.upsample_rates)):
         x = apply_op(x, f"up{i}", pre_lrelu=True)
-        if fuse_mrf and use_pallas and x.shape[2] % 128 == 0:
+        if (fuse_mrf and use_pallas and cfg.resblock == "1"
+                and x.shape[2] % 128 == 0):
             # whole-stage MRF (18 convs + residuals + sum + /num_kernels)
             # as ONE kernel: per-stage HBM traffic collapses to one
             # read + one write of the activations
@@ -413,12 +426,16 @@ def folded_plan_apply(arrays: Dict, meta, cfg: HifiGanConfig,
             v = x
             for m in range(len(rd)):
                 last = fuse_sum and m == len(rd) - 1
-                t1 = apply_op(v, f"rb{i}_{j}_c1_{m}", pre_lrelu=True)
-                v = apply_op(
-                    t1, f"rb{i}_{j}_c2_{m}", pre_lrelu=True, residual=v,
-                    accum=xs if (last and xs is not None) else None,
-                    out_scale=(1.0 / num_kernels
-                               if last and j == num_kernels - 1 else None))
+                scale = (1.0 / num_kernels
+                         if last and j == num_kernels - 1 else None)
+                acc = xs if (last and xs is not None) else None
+                if cfg.resblock == "1":
+                    t1 = apply_op(v, f"rb{i}_{j}_c1_{m}", pre_lrelu=True)
+                    v = apply_op(t1, f"rb{i}_{j}_c2_{m}", pre_lrelu=True,
+                                 residual=v, accum=acc, out_scale=scale)
+                else:  # "2": v = conv(lrelu(v)) + v per dilation
+                    v = apply_op(v, f"rb{i}_{j}_c_{m}", pre_lrelu=True,
+                                 residual=v, accum=acc, out_scale=scale)
             xs = v if (xs is None or fuse_sum) else xs + v
         x = xs if fuse_sum else xs / num_kernels
     x = apply_op(x, "post", pre_lrelu=True, slope=0.01)

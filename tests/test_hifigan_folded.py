@@ -206,3 +206,42 @@ def test_plan_apply_fused_stage_sum_and_bf16_activations():
     snr = 10 * np.log10(float((base ** 2).mean())
                         / max(float((err ** 2).mean()), 1e-30))
     assert snr > 35.0, snr
+
+
+def test_plan_apply_resblock2_v3_config():
+    """The folded plan serves the LJ_V3 config too (resblock '2': one
+    residual conv per dilation, 3 upsample stages ×8·8·4 — reference:
+    hifigan/LJ_V3/config.json, hifigan/models.py:60-81): XLA and pallas
+    paths both match the conv generator, with the MRF fusion flag
+    silently inert (it is a resblock-'1' kernel)."""
+    from efficientspeech_tpu.models.hifigan_folded import (
+        fold_hifigan_device, folded_plan_apply, make_grid_plan)
+
+    cfg = HifiGanConfig(
+        resblock="2", upsample_rates=(8, 8, 4),
+        upsample_kernel_sizes=(16, 16, 8), upsample_initial_channel=256,
+        resblock_kernel_sizes=(3, 5, 7),
+        resblock_dilation_sizes=((1, 2), (2, 6), (3, 12)))
+    ch, rate, g, rpf = make_grid_plan(cfg)
+    assert ch == [128, 64, 32] and g == [1, 2, 4] and rpf == [8, 32, 64]
+
+    gen = HifiGanGenerator(cfg)
+    params = gen.init(jax.random.PRNGKey(2), jnp.zeros((1, 4, 80)))["params"]
+    arrays, meta = fold_hifigan_device(params, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(7)
+    t, valid = 12, 9
+    mel = rng.normal(-3, 2, size=(1, t, 80)).astype(np.float32)
+    mel[0, valid:] = 0
+    vl = jnp.asarray([valid])
+    ref = gen.apply({"params": params}, jnp.asarray(mel), valid_len=vl)
+    got = folded_plan_apply(arrays, meta, cfg, jnp.asarray(mel), vl,
+                            dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # pallas per-op path, with fuse_mrf requested (must be inert for "2")
+    got_p = folded_plan_apply(arrays, meta, cfg, jnp.asarray(mel), vl,
+                              dtype=jnp.float32, use_pallas=True,
+                              interpret=True, fuse_mrf=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
