@@ -241,17 +241,24 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None,
                 self._chunk(wav_header(0xFFFFFFF0 - 36,
                                        synth.sampling_rate))
                 first_ms = None
-                with lock:
-                    for wav, info in synth.tts_stream(
-                            text,
-                            segment_phonemes=stream_segment_phonemes):
-                        if first_ms is None:
-                            first_ms = (time.time() - t0) * 1e3
-                        self._chunk(pcm16(wav, max_wav))
+                # hold the device lock per SEGMENT, not across client
+                # writes: a slow-draining client must never stall other
+                # requests' synthesis
+                seg_gen = synth.tts_stream(
+                    text, segment_phonemes=stream_segment_phonemes)
+                while True:
+                    with lock:
+                        try:
+                            wav, info = next(seg_gen)
+                        except StopIteration:
+                            break
+                    if first_ms is None:
+                        first_ms = (time.time() - t0) * 1e3
+                    self._chunk(pcm16(wav, max_wav))
                 self._chunk(b"")  # terminator
                 print(f"[serve] /tts_stream first-audio "
-                      f"{first_ms:.1f} ms, total "
-                      f"{(time.time() - t0) * 1e3:.1f} ms")
+                      f"{first_ms if first_ms is None else round(first_ms, 1)}"
+                      f" ms, total {(time.time() - t0) * 1e3:.1f} ms")
                 return
 
             try:
