@@ -144,6 +144,23 @@ def _bwd_kernel(x_ref, keep_ref, dww_ref, dwb_ref, pww_ref, pwb_ref,
         [jnp.sum(dy, axis=0, keepdims=True), zeros7], axis=0)
 
 
+# Mosaic's scoped-VMEM stack limit is 16 MB; the kernel's live temps
+# scale with tg*M*C.  Calibrated on v5e: forward fits at tg*M*C = 4*1152*128
+# (the tiny-preset production config) and the backward at half that
+# (2*1152*128; 4*1152*128 measured 25.07M > 16M) — the small/base presets'
+# C=256 mel decoders (min(4*dim, 256), reference: layers/networks.py:273)
+# must therefore run at smaller batch groups, discovered when the small
+# preset failed to compile at tg=4 (25.13M).
+_FWD_ELEM_BUDGET = 4 * 1152 * 128
+_BWD_ELEM_BUDGET = 2 * 1152 * 128
+
+
+def _fit_tg(tg: int, m: int, c: int, budget: int) -> int:
+    while tg > 1 and tg * m * c > budget:
+        tg //= 2
+    return tg
+
+
 def _pack_weights(dw_w, dw_b, pw_w, pw_b, ln_s, ln_b):
     k, _, c = dw_w.shape
     dww = jnp.concatenate(
@@ -181,6 +198,7 @@ def decoder_block_fused(x, keep, dw_w, dw_b, pw_w, pw_b, ln_s, ln_b,
 def _fwd_impl(x, keep, dw_w, dw_b, pw_w, pw_b, ln_s, ln_b,
               k, eps, tg, interpret):
     b, m, c = x.shape
+    tg = _fit_tg(tg, m, c, _FWD_ELEM_BUDGET)
     keep3 = keep.astype(jnp.float32).reshape(b, m, 1)
     xpad, keep3, b0 = _pad_batch(x, keep3, tg)
     dww, dwb, pww, pwb, lns, lnb = _pack_weights(
@@ -221,9 +239,11 @@ def _db_bwd(k, eps, tg, tg_bwd, interpret, bwd_vmem_mb, res, dy):
     # its own (smaller) batch-group size to stay inside the 16 MB VMEM
     # scoped-allocation limit (tg=4 measured 25.07M > 16M on v5e);
     # bwd_vmem_mb > 0 raises Mosaic's scoped-vmem cap instead
-    tg = tg_bwd
     x, keep, dw_w, dw_b, pw_w, pw_b, ln_s = res
     b, m, c = x.shape
+    # a raised vmem cap (bwd_vmem_mb) scales the element budget with it
+    budget = _BWD_ELEM_BUDGET * max(1, bwd_vmem_mb or 16) // 16
+    tg = _fit_tg(tg_bwd, m, c, budget)
     keep3 = keep.astype(jnp.float32).reshape(b, m, 1)
     xpad, keep3, b0 = _pad_batch(x, keep3, tg)
     dypad = jnp.pad(dy, ((0, xpad.shape[0] - b), (0, 0), (0, 0))) \

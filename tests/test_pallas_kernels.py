@@ -248,3 +248,18 @@ def test_decoder_block_fused_matches_plain():
     np.testing.assert_allclose(np.asarray(yb1, np.float32),
                                np.asarray(yb2, np.float32),
                                atol=0.06)
+
+
+def test_decoder_block_tg_fits_vmem_budget():
+    """Batch-group sizes self-clamp to the calibrated scoped-VMEM element
+    budget: the tiny preset keeps its tuned tg=4/tg_bwd=2; the C=256 mel
+    decoders of small/base (min(4*dim,256)) halve both — discovered when
+    the small preset failed Mosaic compile at tg=4 (25.13M > 16M)."""
+    from efficientspeech_tpu.ops.pallas.decoder_block import (
+        _BWD_ELEM_BUDGET, _FWD_ELEM_BUDGET, _fit_tg)
+
+    assert _fit_tg(4, 1152, 128, _FWD_ELEM_BUDGET) == 4   # tiny fwd
+    assert _fit_tg(2, 1152, 128, _BWD_ELEM_BUDGET) == 2   # tiny bwd
+    assert _fit_tg(4, 1024, 256, _FWD_ELEM_BUDGET) == 2   # small/base fwd
+    assert _fit_tg(2, 1024, 256, _BWD_ELEM_BUDGET) == 1   # small/base bwd
+    assert _fit_tg(4, 4096, 512, _FWD_ELEM_BUDGET) == 1   # never below 1

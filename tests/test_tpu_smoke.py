@@ -162,3 +162,45 @@ def test_decoder_block_fused_compiled():
         scale = np.max(np.abs(va)) + 1e-12
         np.testing.assert_allclose(vb / scale, va / scale, atol=0.02,
                                    err_msg=str(ka))
+
+
+def test_decoder_block_fused_compiled():
+    """Compiled decoder-block kernel (fwd + custom-VJP bwd at tg_bwd=2,
+    the production training config) vs the unfused MelDecoder on chip."""
+    import jax.tree_util as jtu
+
+    from efficientspeech_tpu.config import ModelConfig
+    from efficientspeech_tpu.models.mel_decoder import MelDecoder
+
+    cfg = ModelConfig.preset("tiny", max_phoneme_len=16, max_mel_len=64)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 64, 4 * cfg.filter_dim)),
+                    jnp.float32)
+    mask = jnp.asarray(rng.random((4, 64)) < 0.2)
+
+    plain = MelDecoder(cfg, dtype=jnp.float32)
+    fused = MelDecoder(cfg, dtype=jnp.float32, fused_block=True,
+                       fused_block_tg=2, fused_block_tg_bwd=2)
+    p = plain.init(jax.random.PRNGKey(0), x, mask)["params"]
+
+    y1 = jax.device_get(jax.jit(
+        lambda p: plain.apply({"params": p}, x, mask))(p))
+    y2 = jax.device_get(jax.jit(
+        lambda p: fused.apply({"params": p}, x, mask))(p))
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(model, p):
+        return jnp.sum(model.apply({"params": p}, x, mask) ** 2)
+
+    g1 = jax.device_get(jax.jit(jax.grad(
+        lambda p: loss(plain, p)))(p))
+    g2 = jax.device_get(jax.jit(jax.grad(
+        lambda p: loss(fused, p)))(p))
+    for (ka, va), (_, vb) in zip(jtu.tree_flatten_with_path(g1)[0],
+                                 jtu.tree_flatten_with_path(g2)[0]):
+        scale = np.max(np.abs(np.asarray(va))) + 1e-12
+        np.testing.assert_allclose(np.asarray(vb) / scale,
+                                   np.asarray(va) / scale,
+                                   atol=2e-4, err_msg=jtu.keystr(ka)
+                                   if not isinstance(ka, str) else ka)
