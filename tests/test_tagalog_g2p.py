@@ -80,8 +80,8 @@ def test_t1_front_door_produces_phone_ids():
                     reason="reference isip lexicon not on disk")
 def test_rule_g2p_accuracy_vs_isip_lexicon():
     """Held-out eval: the rules were fit on orthographic CONVENTIONS,
-    not per-word entries.  Bound: word accuracy >= 0.67, PER <= 0.09
-    (measured 0.689 / 0.078; the failures are Filipino-accented English
+    not per-word entries.  Bound: word accuracy >= 0.68, PER <= 0.08
+    (measured 0.697 / 0.073; the failures are Filipino-accented English
     loanword transcriptions and lexicon-internal glottal-q
     inconsistency, unreachable by letter-to-sound rules)."""
     from efficientspeech_tpu.text.tagalog_g2p import tagalog_g2p
