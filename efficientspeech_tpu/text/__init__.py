@@ -29,6 +29,16 @@ def enable_tagalog_symbols() -> int:
         _id_to_symbol.setdefault(i, s)
     return len(symbols_tagalog) + 1
 
+
+def disable_tagalog_symbols() -> None:
+    """Restore the default (English) symbol table — the inverse of
+    enable_tagalog_symbols, for process-level isolation (tests, or a
+    server switching served languages)."""
+    _symbol_to_id.clear()
+    _symbol_to_id.update({s: i for i, s in enumerate(symbols)})
+    _id_to_symbol.clear()
+    _id_to_symbol.update({i: s for i, s in enumerate(symbols)})
+
 _curly_re = re.compile(r"(.*?)\{(.+?)\}(.*)")
 
 

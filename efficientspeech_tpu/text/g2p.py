@@ -67,6 +67,14 @@ _SUFFIXES = [
     ("ing", ["IH0", "NG"]),
     ("ly", ["L", "IY0"]),
 ]
+# shun-type suffixes attract stress to the syllable BEFORE them, keeping a
+# stem-final open vowel long (oc-CA-sion, gra-cious); other suffixes leave
+# a post-stress stem-final a/o reduced (SIG-na-ture)
+_STRESS_ATTRACTING = frozenset({
+    "tion", "sion", "ssion", "cian", "cial", "tial", "cious", "tious",
+    "ission", "ession", "ation", "ision",
+})
+
 # minimum STEM length for each generic suffix (protects monosyllables like
 # "ring", "bed", "ten" whose ending is part of the root)
 _SUFFIX_MIN_STEM = {"ing": 3, "ly": 3, "ous": 3, "ness": 3, "ment": 2,
@@ -152,7 +160,25 @@ def _rule_g2p(word: str) -> List[str]:
         min_stem = _SUFFIX_MIN_STEM.get(suffix, 1)
         if word.endswith(suffix) and len(word) - len(suffix) >= min_stem:
             stem_word = word[: -len(suffix)]
-            if suffix in ("ous", "able") and len(stem_word) >= 3 \
+            nvow = sum(ch in _VOWEL_LETTERS for ch in stem_word)
+            stem = None
+            if stem_word.endswith("i") and nvow >= 2:
+                # pre-suffix i in a polysyllabic stem is LAX (musician,
+                # ambitious, furniture) — not the word-final tense /iː/;
+                # evaluate the whole stem (keeps mu-si open-syllable
+                # structure) and lax only the final vowel phone
+                stem = _rule_g2p(stem_word)
+                if stem and stem[-1] in ("IY0", "IY1", "AY1"):
+                    stem[-1] = "IH0"
+            elif stem_word.endswith("e") and nvow == 1 \
+                    and len(stem_word) >= 2 \
+                    and stem_word[-2] not in _VOWEL_LETTERS \
+                    and suffix[0] in "aeiou":
+                # a bare-e stem before a VOWEL-initial suffix stays the
+                # long open vowel in hiatus (cre+ation); before a
+                # consonant-initial suffix it is lax (pre+cious)
+                stem = _rule_g2p(stem_word[:-1]) + ["IY1"]
+            elif suffix in ("ous", "able") and len(stem_word) >= 3 \
                     and stem_word[-1] not in _VOWEL_LETTERS \
                     and stem_word[-2] in "aeiou" \
                     and stem_word[-3] not in _VOWEL_LETTERS:
@@ -160,17 +186,67 @@ def _rule_g2p(word: str) -> List[str]:
                 stem_word += "e"
             elif len(stem_word) >= 3 and stem_word[-1] in "ao" \
                     and stem_word[-2] not in _VOWEL_LETTERS:
-                # stem-final a/o stays open before the suffix (gra-cious):
-                # a trailing consonant+e forces the long evaluation
-                stem_word += "pe"
-            stem = _rule_g2p(stem_word)
-            if stem_word.endswith("pe") and not word.endswith("pe") \
-                    and stem and stem[-1] == "P":
-                stem = stem[:-1]
+                if nvow >= 2 and suffix not in _STRESS_ATTRACTING:
+                    # post-stress a/o before a non-attracting suffix
+                    # reduces (signa+ture → /ə/, not *sign-AY-ture);
+                    # the plain evaluation's word-final-a schwa applies
+                    stem = _rule_g2p(stem_word)
+                else:
+                    # stem-final a/o stays open before a stress-
+                    # attracting suffix (gra-cious, oc-CA-sion): a
+                    # trailing consonant+e forces the long evaluation
+                    stem_word += "pe"
+            if stem is None:
+                stem = _rule_g2p(stem_word)
+                if stem_word.endswith("pe") and not word.endswith("pe") \
+                        and stem and stem[-1] == "P":
+                    stem = stem[:-1]
+                    if nvow >= 2 and suffix in _STRESS_ATTRACTING:
+                        # stress lands on the pre-suffix syllable
+                        # (oc-CA-sion): earlier vowels demote and an
+                        # unstressed o reduces to schwa
+                        last = max((i for i, p in enumerate(stem)
+                                    if p[-1:].isdigit()), default=-1)
+                        stem = [(p if i == last else
+                                 "AH0" if p == "AA1" else
+                                 p[:-1] + "0" if p.endswith("1") else p)
+                                for i, p in enumerate(stem)]
             if any(p.endswith("1") for p in ph):
                 # stress-bearing suffix (-ation, -ition, ...): the suffix
                 # carries primary stress, the stem demotes
+                if nvow == 1 and len(stem_word) >= 2 \
+                        and stem_word[-1] not in _VOWEL_LETTERS:
+                    # a single-vowel stem closed by ONE consonant (or a
+                    # doubled pair) re-syllabifies OPEN before the
+                    # stressed suffix: a lengthens (va+cation → /eɪ/),
+                    # o reduces (prof+ession, poss+ession → /ə/); a
+                    # cluster coda stays closed (adm+ission keeps /æ/)
+                    v = max(i for i, ch in enumerate(stem_word)
+                            if ch in _VOWEL_LETTERS)
+                    coda = stem_word[v + 1:]
+                    if len(coda) == 1 or (len(coda) == 2
+                                          and coda[0] == coda[1]):
+                        stem = [("EY1" if p == "AE1" else
+                                 "AH0" if p == "AA1" else p)
+                                for p in stem]
                 stem = _demote_stress(stem)
+                # a con-/com- prefix regains its full vowel under the
+                # secondary stress a stressed suffix induces
+                # (combination, compensation: /kɑm/, not /kəm/)
+                if stem[:2] == ["K", "AH0"] and len(stem) > 2 \
+                        and stem[2] in ("M", "N") and word[:1] == "c":
+                    stem[1] = "AA2"
+                # a demoted non-initial "or" syllable reduces to /ɚ/
+                # (trans-por-TA-tion, infor-MA-tion); word-initial or-
+                # keeps its quality under secondary stress (organization)
+                red = []
+                for p in stem:
+                    if p == "R" and red and red[-1] == "AO0" \
+                            and len(red) >= 2:
+                        red[-1] = "ER0"
+                        continue
+                    red.append(p)
+                stem = red
             return stem + ph
 
     # past-tense -ed: allomorph chosen by the stem's final phone
@@ -292,6 +368,16 @@ def _rule_g2p(word: str) -> List[str]:
             i += 1
             continue
 
+        # magic-e across an r coda: the vowel reads long/r-colored
+        # (care, store, fire, cure, here) — the bare r-digraph tables
+        # (ar → /ɑr/ ...) only apply without the final e
+        if magic_e and i == n - 3 and c in "aeiou" and nxt == "r":
+            phones.extend({"a": ["EH1", "R"], "o": ["AO1", "R"],
+                           "i": ["AY1", "R"], "u": ["Y", "UH1", "R"],
+                           "e": ["IH1", "R"]}[c])
+            i += 2
+            continue
+
         matched = False
         for digraph, ph in _DIGRAPHS:
             if word.startswith(digraph, i):
@@ -349,7 +435,10 @@ def _rule_g2p(word: str) -> List[str]:
                     # non-initial 'e' before C+V is usually lax (never,
                     # seven, lemon, general); long e survives via magic-e
                     # (scene) and word-initial position (even, evil)
-                    and not (c == "e" and i > 0))
+                    and not (c == "e" and i > 0)
+                    # the syllable before an -ern tail is CLOSED
+                    # (tavern, cavern, modern, govern)
+                    and not word.endswith("ern", i + 2))
                 or (nxt and nxt in _CONSONANTS and word.startswith("le", i + 2)
                     and i + 4 == n)
                 or (i == n - 1 and n >= 2 and c in "iou")
@@ -370,8 +459,11 @@ def _rule_g2p(word: str) -> List[str]:
                 continue
             if c == "y" and i == n - 1 and not silent_final_e:
                 phones.append("IY0" if n > 3 else "AY1")
-            elif c == "a" and i > 0 and word[i - 1] == "w" and not long_pos:
-                phones.append("AA1")  # wa- (want, wash, watch)
+            elif c == "a" and i > 0 and word[i - 1] == "w" \
+                    and not long_pos and nxt != "g":
+                # wa- darkens to /ɑ/ (want, wash, watch) except before
+                # g (wag, wagon, swagger)
+                phones.append("AA1")
             elif c == "o" and nxt == "g" and i + 2 == n:
                 phones.append("AO1")  # final -og (dog, log, fog)
             elif c == "u" and long_pos:
@@ -399,6 +491,11 @@ def _rule_g2p(word: str) -> List[str]:
             # intervocalic s voices (music, visit); before u it
             # palatalizes (usual, casual, visual)
             phones.append("ZH" if nxt == "u" else "Z")
+        elif c == "s" and 0 < i and word[i - 1] == "m" \
+                and nxt in _VOWEL_LETTERS:
+            # s voices after m within a morpheme (crimson, clumsy,
+            # flimsy, damsel)
+            phones.append("Z")
         elif c in _CONSONANTS:
             phones.extend(_CONSONANTS[c].split())
         i += 1
@@ -409,6 +506,54 @@ def _secondary(phones: List[str]) -> List[str]:
     """Demote primary stress to secondary (the right-hand member of a
     compound: snowman → S N OW1 M AE2 N)."""
     return [p[:-1] + "2" if p.endswith("1") else p for p in phones]
+
+
+# --- initialisms -------------------------------------------------------------
+# The reference's neural g2p_en letter-spells unknown all-caps tokens; the
+# rule L2S would garble them (FBI → /fbaɪ/).  English letter names,
+# CMUDict phones:
+_LETTER_NAMES = {
+    "a": "EY1", "b": "B IY1", "c": "S IY1", "d": "D IY1", "e": "IY1",
+    "f": "EH1 F", "g": "JH IY1", "h": "EY1 CH", "i": "AY1", "j": "JH EY1",
+    "k": "K EY1", "l": "EH1 L", "m": "EH1 M", "n": "EH1 N", "o": "OW1",
+    "p": "P IY1", "q": "K Y UW1", "r": "AA1 R", "s": "EH1 S", "t": "T IY1",
+    "u": "Y UW1", "v": "V IY1", "w": "D AH1 B AH0 L Y UW0",
+    "x": "EH1 K S", "y": "W AY1", "z": "Z IY1",
+}
+
+# 4+-letter vowel-containing all-caps words that are READ AS LETTERS
+# anyway (the default for those is word reading: NASA, NATO, JSON)
+_LETTER_READ = frozenset({"asap", "aiou", "ieee", "yaml"})
+
+
+def spell_initialism(word: str) -> List[str]:
+    """Letter-name phones for an initialism; primary stress lands on the
+    LAST letter (CMUDict convention: FBI → EH2 F B IY2 AY1)."""
+    chunks = [_LETTER_NAMES[c].split() for c in word.lower()
+              if c in _LETTER_NAMES]
+    out: List[str] = []
+    for j, ch in enumerate(chunks):
+        if j < len(chunks) - 1:
+            ch = [p[:-1] + "2" if p.endswith("1") else p for p in ch]
+        out.extend(ch)
+    return out
+
+
+def is_initialism(token: str) -> bool:
+    """True for tokens to read as letter names: all-caps, and either
+    2-3 letters (FBI, TPU, USA, CEO — 3-letter all-caps are almost
+    always initialisms; known WORDS are caught by the builtin-lexicon
+    lookup that runs first, so shouted text like THE stays a word), or
+    4-6 letters with no vowel letter (HTML, HTTPS) or in the
+    letter-read list; longer vowel-bearing all-caps read as words
+    (NASA, NATO, JSON)."""
+    t = token.strip(punctuation)
+    if not (t.isupper() and t.isalpha() and 2 <= len(t) <= 6):
+        return False
+    if len(t) <= 3:
+        return True
+    return (not any(c in "AEIOU" for c in t)
+            or t.lower() in _LETTER_READ)
 
 
 class G2p:
@@ -488,22 +633,46 @@ class G2p:
                 stem = self._lookup_stem(word[: -len(suffix)])
                 if stem:
                     return stem + list(tail)
+        if word.endswith("ion") and len(word) - 3 >= 3:
+            # -ion nominalization with the sibilant mutation
+            # (possess+ion → /ʃ/, quest+ion → /tʃ/, stat(e)+ion);
+            # D-stems shift the vowel too (divide → division) and are
+            # left to the lexicon
+            stem = self._lookup_stem(word[:-3])
+            if stem:
+                last = stem[-1].rstrip("012")
+                if last == "S":
+                    return stem[:-1] + ["SH", "AH0", "N"]
+                if last == "T" and len(stem) >= 2 \
+                        and stem[-2].rstrip("012") == "S":
+                    return stem[:-1] + ["CH", "AH0", "N"]
+                if last == "T" and stem[-2].endswith(("1", "2")):
+                    return stem[:-1] + ["SH", "AH0", "N"]
         return []
 
     def _compound(self, word: str) -> List[str]:
-        """Two-known-words split, longest left part first (notebook,
-        raincoat); the right member's stress demotes to secondary.  The
-        right member may be a plural of a built-in word (outdoors) or —
-        when long enough — rule-spelled (snowflake); the left member may
-        fall back to the rules only against a substantial right member
-        (note+book yes, feat+her no)."""
+        """Two-known-words split; the right member's stress demotes to
+        secondary.  All splits are scored and the most-attested one wins:
+        both members in the built-in lexicon (sea+shell, not seas+hell)
+        beats one known member, and a known LEFT member beats a known
+        right one (home+land, not homel+and) — the left member is the
+        modifier and is almost always a real word.  Ties break to the
+        longest left part (the old behavior).  The right member may be a
+        plural of a built-in word (outdoors) or — when long enough —
+        rule-spelled (snowflake); the left member may fall back to the
+        rules only against a substantial right member (note+book yes,
+        feat+her no)."""
+        best: List[str] = []
+        best_score = 0
         for k in range(len(word) - 3, 1, -1):
             a, b = word[:k], word[k:]
             if len(a) == 2 and a not in self._PREFIX_WORDS:
                 continue
             right = None
+            right_known = False
             if b in self._builtin and b not in self._NOT_COMPOUND_TAILS:
                 right = list(self._builtin[b])
+                right_known = True
             elif b.endswith("s") and b[:-1] in self._builtin \
                     and len(b) >= 4:
                 stem = list(self._builtin[b[:-1]])
@@ -513,14 +682,23 @@ class G2p:
                 else:
                     right = stem + (["S"] if last in
                                     ("P", "T", "K", "F", "TH") else ["Z"])
+                right_known = True
+            left_known = a in self._builtin
+            cand: List[str] = []
             if right is not None:
-                if a in self._builtin:
-                    return list(self._builtin[a]) + _secondary(right)
-                if len(a) >= 4 and len(b) >= 4:
+                if left_known:
+                    cand = list(self._builtin[a]) + _secondary(right)
+                elif len(a) >= 4 and len(b) >= 4:
                     left = rule_g2p(a)
                     if left:
-                        return left + _secondary(right)
-            elif a in self._builtin and len(a) >= 4 and len(b) >= 5 \
+                        if a.endswith("i") and left[-1] in ("IY0", "IY1",
+                                                            "AY1"):
+                            # a rule-spelled left member ending in i is a
+                            # combining form with the LAX vowel
+                            # (agri+culture), not a word-final tense /iː/
+                            left[-1] = "IH0"
+                        cand = left + _secondary(right)
+            elif left_known and len(a) >= 4 and len(b) >= 5 \
                     and b[0] not in "aeiou" \
                     and b not in self._NOT_COMPOUND_TAILS:
                 # rule-spelled right member (snowflake, grasshopper);
@@ -528,8 +706,16 @@ class G2p:
                 # always suffixes (sign+ature), not compound members
                 rb = rule_g2p(b)
                 if rb and _has_vowel(rb):
-                    return list(self._builtin[a]) + _secondary(rb)
-        return []
+                    cand = list(self._builtin[a]) + _secondary(rb)
+            if not cand:
+                continue
+            # 2 points per lexicon-attested member, +1 when that member
+            # is the left one: both-known(5) > left-known(3) >
+            # right-known(2) > longest-left tiebreak (loop order)
+            score = (3 if left_known else 0) + (2 if right_known else 0)
+            if score > best_score:
+                best, best_score = cand, score
+        return best
 
     def __call__(self, word: str) -> List[str]:
         if self._backend is not None:
@@ -540,7 +726,10 @@ class G2p:
             return [c for c in word if not c.isspace()]
         w = word.lower().strip("".join(punctuation))
         if w in self._builtin:
+            # known words win even in all-caps (shouted THE stays "the")
             return list(self._builtin[w])
+        if is_initialism(word):
+            return spell_initialism(word.strip("".join(punctuation)))
         if len(w) >= 5:
             derived = self._derived(w)
             if derived:

@@ -50,8 +50,13 @@ def test_tagalog_char_fallback():
     the reference's behavior, since its Tagalog symbols are commented out
     of the table (reference: text/symbols.py:28)."""
     from efficientspeech_tpu.config import PreprocessConfig
+    from efficientspeech_tpu.text import disable_tagalog_symbols
     from efficientspeech_tpu.text.g2p import G2p, text2phoneme
 
+    # another test (e.g. test_tagalog_g2p) may have enabled the opt-in
+    # phone extension in this process; this test asserts DEFAULT-table
+    # behavior
+    disable_tagalog_symbols()
     cfg = PreprocessConfig(language="t1", text_cleaners=(),
                            lexicon_path="/nonexistent")
     seq = text2phoneme({}, G2p(), "kamusta", cfg)

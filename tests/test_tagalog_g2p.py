@@ -20,6 +20,15 @@ ISIP_LEXICON = os.path.join(
     "lexicon", "isip-lexicon.txt")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _restore_default_symbols():
+    """The phone extension is process-global opt-in state; restore the
+    default table so later tests see English-only tokenization."""
+    yield
+    from efficientspeech_tpu.text import disable_tagalog_symbols
+    disable_tagalog_symbols()
+
+
 def test_rule_cases():
     from efficientspeech_tpu.text.tagalog_g2p import tagalog_g2p
 
