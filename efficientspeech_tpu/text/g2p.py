@@ -525,6 +525,10 @@ _LETTER_NAMES = {
 # anyway (the default for those is word reading: NASA, NATO, JSON)
 _LETTER_READ = frozenset({"asap", "aiou", "ieee", "yaml"})
 
+# 3-letter consonant-vowel-consonant acronyms read as LETTERS (the CVC
+# default is word reading: shouted GAS, RAM, SIM, PIN are words)
+_LETTER_READ_CVC = frozenset({"vip", "suv", "pov"})
+
 
 def spell_initialism(word: str) -> List[str]:
     """Letter-name phones for an initialism; primary stress lands on the
@@ -550,6 +554,12 @@ def is_initialism(token: str) -> bool:
     t = token.strip(punctuation)
     if not (t.isupper() and t.isalpha() and 2 <= len(t) <= 6):
         return False
+    if len(t) == 3 and t[0] not in "AEIOU" and t[1] in "AEIOU" \
+            and t[2] not in "AEIOU":
+        # consonant-vowel-consonant all-caps are usually shouted words
+        # or word-read acronyms (GAS, RAM, SIM, PIN) — the rule L2S
+        # reads regular CVCs correctly; letter-read CVCs are listed
+        return t.lower() in _LETTER_READ_CVC
     if len(t) <= 3:
         return True
     return (not any(c in "AEIOU" for c in t)
