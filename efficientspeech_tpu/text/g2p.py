@@ -552,8 +552,13 @@ def is_initialism(token: str) -> bool:
     letter-read list; longer vowel-bearing all-caps read as words
     (NASA, NATO, JSON)."""
     t = token.strip(punctuation)
-    if not (t.isupper() and t.isalpha() and 2 <= len(t) <= 6):
+    if not (t.isupper() and t.isalpha() and 1 <= len(t) <= 6):
         return False
+    if len(t) == 1:
+        # a lone capital reads as its letter name ("U. S." tokenizes to
+        # single letters); "A" and "I" are words and never reach here —
+        # the builtin-lexicon lookup wins first
+        return True
     if len(t) == 3 and t[0] not in "AEIOU" and t[1] in "AEIOU" \
             and t[2] not in "AEIOU":
         # consonant-vowel-consonant all-caps are usually shouted words
