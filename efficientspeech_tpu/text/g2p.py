@@ -38,8 +38,10 @@ def read_lexicon(lex_path: str) -> Dict[str, List[str]]:
 # --- rule-based letter-to-sound fallback -----------------------------------
 # A pragmatic English L2S: suffix rules, digraphs, magic-e, open-syllable
 # long vowels, then letter defaults.  Only used for words missing from the
-# lexicon.  Measured on tests/data/g2p_eval.tsv (held-out CMUDict-style
-# entries) by tests/test_g2p_per.py; the PER is recorded in STATUS.md.
+# lexicon.  Measured by tests/test_g2p_per.py on TWO sets: the tuned-on
+# dev set (tests/data/g2p_dev.tsv — retention only) and the blind
+# generalization set (tests/data/g2p_blind.tsv — disjoint from the
+# lexicon and the dev set, measured once); numbers in STATUS.md.
 
 # suffixes replaced wholesale (stem recursion); longest match first
 _SUFFIXES = [
@@ -103,6 +105,9 @@ _CONSONANTS = {
     "b": "B", "d": "D", "f": "F", "g": "G", "h": "HH", "j": "JH", "k": "K",
     "l": "L", "m": "M", "n": "N", "p": "P", "r": "R", "s": "S", "t": "T",
     "v": "V", "w": "W", "x": "K S", "z": "Z",
+    # bare q (not followed by u — Iraq, FAQ word-read): /k/, so word-read
+    # fallbacks never silently drop the letter (the qu digraph wins first)
+    "q": "K",
 }
 _VOWEL_LETTERS = set("aeiouy")
 _VOICELESS = {"P", "K", "F", "TH", "S", "SH", "CH"}
@@ -522,12 +527,13 @@ _LETTER_NAMES = {
 }
 
 # 4+-letter vowel-containing all-caps words that are READ AS LETTERS
-# anyway (the default for those is word reading: NASA, NATO, JSON)
-_LETTER_READ = frozenset({"asap", "aiou", "ieee", "yaml"})
+# anyway (the default for those is word reading: NASA, NATO, JSON, YAML)
+_LETTER_READ = frozenset({"asap", "aiou", "ieee"})
 
 # 3-letter consonant-vowel-consonant acronyms read as LETTERS (the CVC
 # default is word reading: shouted GAS, RAM, SIM, PIN are words)
-_LETTER_READ_CVC = frozenset({"vip", "suv", "pov"})
+_LETTER_READ_CVC = frozenset({"vip", "suv", "pov", "faq", "doj", "dod",
+                              "gop", "sec", "sos"})
 
 
 def spell_initialism(word: str) -> List[str]:

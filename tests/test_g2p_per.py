@@ -1,17 +1,29 @@
-"""G2P quality gates (VERDICT round-2 next #4).
+"""G2P quality gates (VERDICT round-2 next #4; round-3 next #1).
 
 The reference's front door is lexicon-first with the neural g2p_en as OOV
 fallback (synthesize.py:19-64); ours is builtin-lexicon + morphological
 derivation + compound split + rule L2S (text/g2p.py, text/
-builtin_lexicon.py).  Measured against a 600+-entry held-out CMUDict-style
-eval lexicon (tests/data/g2p_eval.tsv) the rules never consult.
+builtin_lexicon.py).
 
-Round-3 measured (enforced with margin below; session-10 rule pass:
-compound-split scoring, pre-suffix vowel laxing/lengthening, -ion
-mutation, ~35 frequent-word lexicon additions):
-  front door  PER 0.0026 / word accuracy 0.990 (stress-insensitive)
-              PER 0.0096 / word accuracy 0.962 (stress-SENSITIVE)
-  rules alone PER 0.084 / word accuracy 0.724
+TWO measurement sets, with different meanings (round-4 methodology fix):
+
+- tests/data/g2p_dev.tsv (630 entries) — the DEVELOPMENT set.  Rules and
+  lexicon additions were tuned against it through round 3 (49.7% of its
+  words are in the shipped lexicon), so its numbers measure retention,
+  NOT generalization.  Round-3 measured: front door PER 0.0026 /
+  word-acc 0.990 (stress-insensitive), 0.0096 / 0.962 (stress-sensitive);
+  rules alone PER 0.084 / word-acc 0.724.
+
+- tests/data/g2p_blind.tsv (545 entries) — the BLIND generalization set.
+  Authored once in round 4, mechanically filtered to be disjoint from
+  both the dev set and the builtin lexicon (0 overlap with either), and
+  measured ONCE (2026-08-19).  These are the honest OOV numbers:
+    front door  PER 0.0886 / word accuracy 0.7064 (stress-insensitive)
+                PER 0.1228 / word accuracy 0.6477 (stress-SENSITIVE)
+    rules alone PER 0.1062 / word accuracy 0.6440 (stress-insensitive)
+  Failures on this set MUST NOT be fixed by adding its words to the
+  lexicon or tuning rules against them; improving these gates requires
+  dev-set-driven work, or a freshly authored blind set.
 """
 
 import os
@@ -24,7 +36,8 @@ from efficientspeech_tpu.text.g2p_eval import (
     strip_stress,
 )
 
-EVAL = os.path.join(os.path.dirname(__file__), "data", "g2p_eval.tsv")
+EVAL = os.path.join(os.path.dirname(__file__), "data", "g2p_dev.tsv")
+BLIND = os.path.join(os.path.dirname(__file__), "data", "g2p_blind.tsv")
 
 
 def test_edit_distance():
@@ -34,11 +47,10 @@ def test_edit_distance():
     assert edit_distance(list("kat"), list("akt")) == 2
 
 
-def test_front_door_per_bound():
-    """The full G2P front door (lexicon + derivation + compounds + rules)
-    must hold PER <= 0.8% and word accuracy >= 97.5% (measured 0.26% /
-    99.0% after the session-10 rule pass; the round-3 VERDICT bar was
-    2.5% / 92%)."""
+def test_front_door_dev_bound():
+    """DEV-set retention gate (memorization guard, NOT generalization —
+    the set was tuned on; see module docstring).  Measured 0.26% / 99.0%
+    after the round-3 session-10 rule pass."""
     lex = load_eval_lexicon(EVAL)
     assert len(lex) >= 500
     per, acc, cases = phone_error_rate(G2p(), lex, ignore_stress=True)
@@ -46,22 +58,60 @@ def test_front_door_per_bound():
     assert acc >= 0.975, f"word accuracy regressed: {acc:.3f}"
 
 
-def test_front_door_stress_bound():
-    """Stress-sensitive quality (primary/secondary placement): measured
-    PER 0.96% / acc 96.2%; enforce with margin."""
+def test_front_door_dev_stress_bound():
+    """DEV-set stress-sensitive retention: measured PER 0.96% /
+    acc 96.2%; enforce with margin."""
     lex = load_eval_lexicon(EVAL)
     per, acc, cases = phone_error_rate(G2p(), lex, ignore_stress=False)
     assert per <= 0.015, f"stress PER regressed: {per:.3f}; {cases[:5]}"
     assert acc >= 0.94, f"stress word accuracy regressed: {acc:.3f}"
 
 
-def test_rule_g2p_per_bound():
-    """The bare rule L2S (every lookup stripped away) is the worst-case
-    OOV path: measured PER 8.4% / acc 72.4% on the expanded set."""
+def test_rule_g2p_dev_bound():
+    """The bare rule L2S (every lookup stripped away) on the dev set:
+    measured PER 8.4% / acc 72.4%."""
     lex = load_eval_lexicon(EVAL)
     per, acc, cases = phone_error_rate(rule_g2p, lex, ignore_stress=True)
     assert per < 0.10, f"rule PER regressed: {per:.3f}; worst: {cases[:5]}"
     assert acc > 0.68, f"rule word accuracy regressed: {acc:.3f}"
+
+
+def test_blind_set_is_disjoint():
+    """The blind set's validity condition, enforced mechanically: zero
+    overlap with the dev set and with the shipped builtin lexicon.  If a
+    blind word is ever added to the lexicon this fails, flagging the
+    contamination the round-3 VERDICT called out on the dev set."""
+    from efficientspeech_tpu.text.builtin_lexicon import get_builtin_lexicon
+
+    blind = load_eval_lexicon(BLIND)
+    assert len(blind) >= 500
+    dev = load_eval_lexicon(EVAL)
+    lex = get_builtin_lexicon()
+    assert not set(blind) & set(dev), sorted(set(blind) & set(dev))[:10]
+    assert not set(blind) & set(lex), sorted(set(blind) & set(lex))[:10]
+
+
+def test_front_door_blind_bound():
+    """BLIND-set generalization gates (measured once, 2026-08-19:
+    front door PER 8.86% / acc 70.6% stress-insensitive, PER 12.28% /
+    acc 64.8% stress-sensitive; enforced with small margin).  This is
+    the honest OOV number — every blind word exercises derivation /
+    compounds / rules, never a lexicon hit."""
+    blind = load_eval_lexicon(BLIND)
+    per, acc, cases = phone_error_rate(G2p(), blind, ignore_stress=True)
+    assert per <= 0.10, f"blind PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.68, f"blind word accuracy regressed: {acc:.3f}"
+    per_s, acc_s, _ = phone_error_rate(G2p(), blind, ignore_stress=False)
+    assert per_s <= 0.14, f"blind stress PER regressed: {per_s:.3f}"
+    assert acc_s >= 0.62, f"blind stress accuracy regressed: {acc_s:.3f}"
+
+
+def test_rule_g2p_blind_bound():
+    """Rules-only on the blind set: measured PER 10.62% / acc 64.4%."""
+    blind = load_eval_lexicon(BLIND)
+    per, acc, cases = phone_error_rate(rule_g2p, blind, ignore_stress=True)
+    assert per <= 0.12, f"blind rule PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.61, f"blind rule accuracy regressed: {acc:.3f}"
 
 
 def test_rule_g2p_emits_valid_arpabet():
