@@ -11,6 +11,7 @@ reference falls back to raw characters (reference: synthesize.py:44-45)
 which its shipped symbol table then drops at tokenization.
 """
 
+import os
 import re
 from string import punctuation
 from typing import Dict, List
@@ -866,12 +867,28 @@ def get_lexicon_and_g2p(preprocess_config) -> tuple:
         # Tagalog front door: activate the phone inventory (the
         # reference ships it commented out of the symbol table, so its
         # t1 phones vanish at tokenization) and serve OOV words from the
+        # shipped loanword lexicon (lexicon/tagalog-loanwords.txt —
+        # hand-authored English/Spanish loans, the rules' measured
+        # failure mode; test-split delta +1 word / 0 broken) then the
         # rule G2P instead of raw characters
         from efficientspeech_tpu.text import enable_tagalog_symbols
         from efficientspeech_tpu.text.tagalog_g2p import tagalog_g2p
 
         enable_tagalog_symbols()
-        return lexicon, tagalog_g2p
+        loan_path = os.path.join(os.path.dirname(__file__), "..", "..",
+                                 "lexicon", "tagalog-loanwords.txt")
+        try:
+            loanwords = read_lexicon(loan_path)
+        except (FileNotFoundError, IsADirectoryError):
+            loanwords = {}
+
+        def t1_g2p(word):
+            wl = word.lower()
+            if wl in loanwords:
+                return list(loanwords[wl])
+            return tagalog_g2p(word)
+
+        return lexicon, t1_g2p
     return lexicon, G2p()
 
 
@@ -907,12 +924,19 @@ def text2phoneme(lexicon: Dict[str, List[str]], g2p, text: str,
         if wl in lexicon:
             phones += lexicon[wl]
         elif lang == "t1":
-            # rule G2P over the isip phone inventory (the reference
-            # falls back to raw characters here, synthesize.py:44-45,
-            # which its shipped symbol table then drops entirely)
-            from efficientspeech_tpu.text.tagalog_g2p import tagalog_g2p
+            # loanword lexicon + rule G2P over the isip phone inventory
+            # (the reference falls back to raw characters here,
+            # synthesize.py:44-45, which its shipped symbol table then
+            # drops entirely).  Prefer the callable from
+            # get_lexicon_and_g2p (loanwords -> rules); fall back to
+            # the bare rules if the caller passed something else.
+            if callable(g2p):
+                phones += g2p(wl) or list(wl)
+            else:
+                from efficientspeech_tpu.text.tagalog_g2p import \
+                    tagalog_g2p
 
-            phones += tagalog_g2p(wl) or list(wl)
+                phones += tagalog_g2p(wl) or list(wl)
         else:
             phones += list(filter(lambda p: p != " ", g2p(w)))
     phones_str = "{" + "}{".join(phones) + "}"
