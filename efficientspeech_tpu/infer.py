@@ -9,6 +9,7 @@ cached, which is the native analogue of the reference's fixed-size ONNX
 export (reference: convert.py:35-42).
 """
 
+import threading
 import time
 from typing import Dict, Optional, Tuple
 
@@ -52,6 +53,16 @@ SPEC_MIN_FRAMES = 512
 # speculative buffer is sized with headroom — its tail chunks are silence
 # and never cross the link)
 FETCH_CHUNK_FRAMES = 512
+
+
+class SynthesisTimeout(TimeoutError):
+    """A device fetch exceeded ``Synthesizer.fetch_timeout_s``.
+
+    On tunneled TPUs the relay occasionally wedges every in-flight
+    dispatch for 10-30 minutes (CLAUDE.md); without a deadline one such
+    round hangs every client of the serving layer indefinitely
+    (VERDICT r3 weak #5).  The serving stack maps this to HTTP 503 +
+    Retry-After and opens a circuit breaker (serve.py)."""
 
 
 class Synthesizer:
@@ -102,6 +113,13 @@ class Synthesizer:
         self.warm_only = False
         self._warm_shapes = set()
         self._jit_objs = {}
+        # per-dispatch fetch watchdog: None = block forever (library
+        # default); the serving layer sets a deadline (seconds) so a
+        # wedged relay round raises SynthesisTimeout instead of hanging
+        # every client.  _fetch_fn is a test hook standing in for
+        # jax.device_get (inject hangs without a wedged device).
+        self.fetch_timeout_s = None
+        self._fetch_fn = None
         # serving hook: called with the requested (batch, bucket, frames)
         # whenever warm_only routing substitutes a different warm shape —
         # lets the server compile the exact shape in the background
@@ -350,6 +368,38 @@ class Synthesizer:
             cost = cost[0] if cost else None
         return dict(cost) if cost else None
 
+    def _device_get(self, tree):
+        """``jax.device_get`` with an optional watchdog deadline.
+
+        With ``fetch_timeout_s`` set, the blocking fetch runs on a
+        daemon thread; if the deadline passes the caller gets
+        ``SynthesisTimeout`` immediately (the fetch thread stays parked
+        on the wedged transfer and is discarded when — if — the relay
+        recovers; JAX offers no way to cancel an in-flight transfer).
+        Every synthesis-path fetch in this class routes through here so
+        the serving layer's deadline covers the whole pipeline."""
+        fetch = self._fetch_fn or jax.device_get
+        if self.fetch_timeout_s is None:
+            return fetch(tree)
+        box = {}
+
+        def run():
+            try:
+                box["out"] = fetch(tree)
+            except BaseException as e:  # surfaced to the caller below
+                box["err"] = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(self.fetch_timeout_s)
+        if t.is_alive():
+            raise SynthesisTimeout(
+                f"device fetch exceeded the {self.fetch_timeout_s:.1f}s "
+                f"deadline (relay wedged or device overloaded)")
+        if "err" in box:
+            raise box["err"]
+        return box["out"]
+
     def _fetch_single_pcm(self, parts, mel_len_arr, n_valid: int,
                           out_frames: int):
         """Fetch mel_len plus only the PCM chunks that cover it.
@@ -360,7 +410,7 @@ class Synthesizer:
         for repeated texts); an under-prediction costs one extra fetch.
         Returns (concatenated wire buffer, unclamped mel_len)."""
         if not self._pcm_chunked(out_frames):
-            pcm_np, mel_len_np = jax.device_get((parts, mel_len_arr))
+            pcm_np, mel_len_np = self._device_get((parts, mel_len_arr))
             return np.asarray(pcm_np[0]), int(mel_len_np[0])
         chunk = self.fetch_chunk_frames
         n_chunks = len(parts)
@@ -369,13 +419,13 @@ class Synthesizer:
             k = min(n_chunks, max(1, -(-exp_frames // chunk)))
         else:
             k = n_chunks
-        fetched, mel_len_np = jax.device_get((parts[:k], mel_len_arr))
+        fetched, mel_len_np = self._device_get((parts[:k], mel_len_arr))
         fetched = list(fetched)
         mel_len = int(mel_len_np[0])
         covered = min(mel_len, out_frames)
         need_k = min(n_chunks, max(1, -(-covered // chunk)))
         if need_k > k:  # under-predicted: fetch the remaining chunks
-            fetched.extend(jax.device_get(parts[k:need_k]))
+            fetched.extend(self._device_get(parts[k:need_k]))
         return np.concatenate([np.asarray(c) for c in fetched]), mel_len
 
     # how many recent syntheses the speculation tracker remembers: the max
@@ -613,7 +663,7 @@ class Synthesizer:
         wav = vocode(self.params["hifigan"], mel_in, mel_len_arr)
         # one fused fetch: wav buffer + mel_len (trim on host; a device-side
         # slice would cost an extra dispatch round trip)
-        wav_np, mel_len_np = jax.device_get((wav, mel_len_arr))
+        wav_np, mel_len_np = self._device_get((wav, mel_len_arr))
         mel_len = min(int(mel_len_np[0]), mel.shape[1])
 
         if mel_len > slice_len:  # speculation undershot: exact re-run
@@ -621,7 +671,7 @@ class Synthesizer:
             slice_len = min(n_chunks * chunk, mel.shape[1])
             vocode = self._get_vocoder(slice_len)
             mel_in = jax.lax.slice_in_dim(mel, 0, slice_len, axis=1)
-            wav_np = jax.device_get(
+            wav_np = self._device_get(
                 vocode(self.params["hifigan"], mel_in, mel_len_arr))
 
         wav_len = mel_len * self.hifigan_cfg.total_upsample
@@ -752,7 +802,7 @@ class Synthesizer:
             and all-PAD padding rows stay on device); under-predicted rows
             top up with one extra fetch."""
             if not self._pcm_chunked(spec):
-                pcm_np, mel_lens = jax.device_get((pcm[:b], mel_len_arr))
+                pcm_np, mel_lens = self._device_get((pcm[:b], mel_len_arr))
                 return list(pcm_np), np.asarray(mel_lens)[:b]
             chunk = self.fetch_chunk_frames
             n_chunks = spec // chunk
@@ -763,7 +813,7 @@ class Synthesizer:
                     for r in rows]
             else:
                 ks = [n_chunks] * b
-            fetched, mel_lens = jax.device_get(
+            fetched, mel_lens = self._device_get(
                 ([by_row[i][:ks[i]] for i in range(b)], mel_len_arr))
             fetched = [list(f) for f in fetched]
             mel_lens = np.asarray(mel_lens)[:b]
@@ -771,7 +821,7 @@ class Synthesizer:
                      for m in mel_lens]
             short = [i for i in range(b) if needs[i] > ks[i]]
             if short:  # one combined top-up fetch for every short row
-                extras = jax.device_get(
+                extras = self._device_get(
                     [by_row[i][ks[i]:needs[i]] for i in short])
                 for i, ex in zip(short, extras):
                     fetched[i].extend(ex)
@@ -834,14 +884,14 @@ class Synthesizer:
         acoustic = self._get_acoustic(bucket)
         mel, mel_len_arr, _ = acoustic(self.params["phoneme2mel"],
                                        phoneme, pad_mask)
-        mel_lens = np.minimum(np.asarray(jax.device_get(mel_len_arr)),
+        mel_lens = np.minimum(np.asarray(self._device_get(mel_len_arr)),
                               mel.shape[1])
         chunk = self.VOCODER_CHUNK
         n_chunks = self._chunk_bucket(max(1, -(-int(mel_lens.max()) // chunk)))
         slice_len = min(n_chunks * chunk, mel.shape[1])
         vocode = self._get_vocoder(slice_len)
         mel_in = jax.lax.slice_in_dim(mel, 0, slice_len, axis=1)
-        wavs = jax.device_get(vocode(self.params["hifigan"], mel_in,
+        wavs = self._device_get(vocode(self.params["hifigan"], mel_in,
                                      mel_len_arr))
         elapsed = time.time() - t0
 

@@ -95,6 +95,45 @@ def wav_bytes(wav, sampling_rate: int, max_wav_value: float) -> bytes:
     return wav_header(len(pcm), sampling_rate) + pcm
 
 
+class CircuitBreaker:
+    """Fail fast while the device is wedged; recover automatically.
+
+    A fetch deadline expiry (SynthesisTimeout) opens the breaker for
+    ``cooldown_s``: requests during that window get an immediate 503 +
+    Retry-After instead of piling 30 s watchdog waits onto a relay that
+    is already stuck (the relay is FIFO — queued dispatches make the
+    wedge worse).  After the cooldown the next request probes the
+    device (half-open); success closes the breaker."""
+
+    def __init__(self, cooldown_s: float = 10.0):
+        self.cooldown_s = cooldown_s
+        self._open_until = 0.0
+        self._lock = threading.Lock()
+
+    def trip(self):
+        with self._lock:
+            self._open_until = time.time() + self.cooldown_s
+
+    def close(self):
+        with self._lock:
+            self._open_until = 0.0
+
+    def is_open(self) -> bool:
+        return time.time() < self._open_until
+
+    def retry_after(self) -> int:
+        return max(1, int(self._open_until - time.time() + 0.999))
+
+
+class RequestShed(Exception):
+    """Request shed before dispatch (queue deadline exceeded or breaker
+    open); maps to 503."""
+
+    def __init__(self, msg: str, retry_after: int = 1):
+        super().__init__(msg)
+        self.retry_after = retry_after
+
+
 class DynamicBatcher:
     """Aggregate concurrent /tts requests into one fused batched dispatch.
 
@@ -110,11 +149,18 @@ class DynamicBatcher:
     """
 
     def __init__(self, synth, lock, window_ms: float = 8.0,
-                 max_batch: int = 32):
+                 max_batch: int = 32, queue_deadline_s=None,
+                 breaker=None):
         self.synth = synth
         self.lock = lock
         self.window = window_ms / 1e3
         self.max_batch = max_batch
+        # a request older than this when its dispatch slot arrives is
+        # shed with 503 instead of synthesized late (the client has
+        # typically given up; synthesizing for a gone client steals
+        # capacity from live ones)
+        self.queue_deadline_s = queue_deadline_s
+        self.breaker = breaker
         self._mutex = threading.Lock()
         self._pending = []
         self._wake = threading.Event()
@@ -129,7 +175,7 @@ class DynamicBatcher:
         done = threading.Event()
         box = {}
         with self._mutex:
-            self._pending.append((text, done, box))
+            self._pending.append((text, done, box, time.time()))
         self._wake.set()
         while not done.wait(self.WAIT_SLICE_SECS):
             if not self._worker.is_alive():
@@ -137,6 +183,22 @@ class DynamicBatcher:
         if "error" in box:
             raise box["error"]
         return box["wav"], box["info"]
+
+    def _shed_stale(self):
+        """Fail queued requests that outlived the deadline (503)."""
+        if self.queue_deadline_s is None:
+            return
+        now = time.time()
+        with self._mutex:
+            stale = [e for e in self._pending
+                     if now - e[3] > self.queue_deadline_s]
+            self._pending = [e for e in self._pending
+                             if now - e[3] <= self.queue_deadline_s]
+        for _, done, box, t_in in stale:
+            box["error"] = RequestShed(
+                f"shed after {now - t_in:.1f}s in queue "
+                f"(deadline {self.queue_deadline_s:.1f}s)")
+            done.set()
 
     def _run(self):
         while True:
@@ -146,6 +208,7 @@ class DynamicBatcher:
             if backlog < self.max_batch:
                 time.sleep(self.window)  # collection window
             # else: a full batch is already waiting — drain immediately
+            self._shed_stale()
             with self._mutex:
                 group = self._pending[: self.max_batch]
                 self._pending = self._pending[self.max_batch:]
@@ -153,12 +216,14 @@ class DynamicBatcher:
                     self._wake.clear()
             if not group:
                 continue
-            texts = [t for t, _, _ in group]
+            texts = [t for t, _, _, _ in group]
             try:
                 with self.lock:
                     outs = self.synth.tts_batch(texts)
+                if self.breaker is not None:
+                    self.breaker.close()  # healthy dispatch: close breaker
                 voice_total = sum(info["voice_secs"] for _, info in outs)
-                for (t, done, box), (wav, info) in zip(group, outs):
+                for (t, done, box, _), (wav, info) in zip(group, outs):
                     box["wav"] = wav
                     # rtf = this request's share of the batch dispatch;
                     # batch_rtf = the aggregate throughput of the fused
@@ -172,7 +237,11 @@ class DynamicBatcher:
                         / max(info["batch_secs"], 1e-9))
                     done.set()
             except BaseException as e:  # deliver the failure to every waiter
-                for _, done, box in group:
+                from efficientspeech_tpu.infer import SynthesisTimeout
+
+                if isinstance(e, SynthesisTimeout) and self.breaker:
+                    self.breaker.trip()  # wedged device: fail fast now
+                for _, done, box, _ in group:
                     box["error"] = (e if isinstance(e, Exception)
                                     else RuntimeError(repr(e)))
                     done.set()
@@ -182,12 +251,27 @@ class DynamicBatcher:
 
 def make_handler(synth, lock=None, stream_segment_phonemes=None,
                  dynamic_batch: bool = False,
-                 batch_window_ms: float = 8.0, max_batch: int = 32):
+                 batch_window_ms: float = 8.0, max_batch: int = 32,
+                 fetch_timeout_s=None, queue_deadline_s=None,
+                 breaker_cooldown_s: float = 10.0):
     """Build the request handler around a warm Synthesizer (shared by
-    serve.py main() and the tests)."""
+    serve.py main() and the tests).
+
+    Deadline-and-shed behavior (VERDICT r3 next #3): ``fetch_timeout_s``
+    arms the Synthesizer's per-dispatch watchdog (a wedged relay round
+    becomes SynthesisTimeout → HTTP 503 + Retry-After instead of an
+    indefinite hang), a timeout opens a circuit breaker for
+    ``breaker_cooldown_s`` (immediate 503s, no new dispatches piled on
+    the wedged FIFO relay), and queued requests older than
+    ``queue_deadline_s`` are shed with 503 before dispatch."""
     lock = lock or threading.Lock()  # one device stream; serialize synthesis
+    if fetch_timeout_s is not None:
+        synth.fetch_timeout_s = fetch_timeout_s
+    breaker = CircuitBreaker(cooldown_s=breaker_cooldown_s)
     batcher = DynamicBatcher(synth, lock, window_ms=batch_window_ms,
-                             max_batch=max_batch) if dynamic_batch else None
+                             max_batch=max_batch,
+                             queue_deadline_s=queue_deadline_s,
+                             breaker=breaker) if dynamic_batch else None
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -197,6 +281,14 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None,
             self.wfile.write(data)
             self.wfile.write(b"\r\n")
             self.wfile.flush()
+
+        def _unavailable(self, msg: str, retry_after: int):
+            body = msg.encode()
+            self.send_response(503)
+            self.send_header("Retry-After", str(retry_after))
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_GET(self):
             parsed = urllib.parse.urlparse(self.path)
@@ -228,6 +320,12 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None,
                 self.end_headers()
                 self.wfile.write(body)
                 return
+            if breaker.is_open():
+                # device wedged moments ago: shed immediately instead of
+                # stacking watchdog waits on the FIFO relay
+                self._unavailable("device unavailable (circuit open)",
+                                  breaker.retry_after())
+                return
             max_wav = synth.preprocess_cfg.audio.max_wav_value
             t0 = time.time()
 
@@ -244,6 +342,8 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None,
                 # hold the device lock per SEGMENT, not across client
                 # writes: a slow-draining client must never stall other
                 # requests' synthesis
+                from efficientspeech_tpu.infer import SynthesisTimeout
+
                 seg_gen = synth.tts_stream(
                     text, segment_phonemes=stream_segment_phonemes)
                 while True:
@@ -251,6 +351,14 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None,
                         try:
                             wav, info = next(seg_gen)
                         except StopIteration:
+                            break
+                        except SynthesisTimeout as e:
+                            # headers already sent — the honest move is
+                            # to end the stream early (client hears the
+                            # segments that made it) and open the
+                            # breaker for everyone else
+                            breaker.trip()
+                            print(f"[serve] /tts_stream timeout: {e}")
                             break
                     if first_ms is None:
                         first_ms = (time.time() - t0) * 1e3
@@ -261,12 +369,25 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None,
                       f" ms, total {(time.time() - t0) * 1e3:.1f} ms")
                 return
 
+            from efficientspeech_tpu.infer import SynthesisTimeout
+
             try:
                 if batcher is not None:
                     wav, info = batcher.submit(text)
                 else:
                     with lock:
                         wav, info = synth.tts(text)
+                        breaker.close()
+            except SynthesisTimeout as e:
+                # wedged dispatch: 503 now, breaker sheds the pile-up;
+                # the relay recovering closes it on the next success
+                breaker.trip()
+                self._unavailable(f"synthesis timed out: {e}",
+                                  breaker.retry_after())
+                return
+            except RequestShed as e:
+                self._unavailable(str(e), e.retry_after)
+                return
             except Exception as e:
                 body = f"synthesis failed: {e}".encode()
                 self.send_response(500)
@@ -332,6 +453,20 @@ def main():
                              "requests get the exact program (default on)")
     parser.add_argument("--no-bg-compile", dest="bg_compile",
                         action="store_false")
+    parser.add_argument("--fetch-timeout", type=float, default=30.0,
+                        help="per-dispatch watchdog (seconds): a device "
+                             "fetch exceeding this returns 503 + "
+                             "Retry-After instead of hanging the client "
+                             "(the tunneled relay wedges for 10-30 min "
+                             "occasionally); 0 disables")
+    parser.add_argument("--queue-deadline", type=float, default=60.0,
+                        help="shed queued requests older than this "
+                             "(seconds) with 503 before dispatch; 0 "
+                             "disables")
+    parser.add_argument("--breaker-cooldown", type=float, default=10.0,
+                        help="after a timeout, fail fast (503) for this "
+                             "many seconds before probing the device "
+                             "again")
     from efficientspeech_tpu.config import add_arch_args, arch_overrides
 
     add_arch_args(parser)
@@ -407,7 +542,10 @@ def main():
     handler = make_handler(
         synth, stream_segment_phonemes=args.stream_segment_phonemes,
         dynamic_batch=args.dynamic_batch,
-        batch_window_ms=args.batch_window_ms, max_batch=args.max_batch)
+        batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+        fetch_timeout_s=args.fetch_timeout or None,
+        queue_deadline_s=args.queue_deadline or None,
+        breaker_cooldown_s=args.breaker_cooldown)
     server = ThreadingHTTPServer((args.host, args.port), handler)
     print(f"serving on http://{args.host}:{args.port}  "
           f"(UI at /, /tts?text=..., /tts_stream?text=..., /healthz)")

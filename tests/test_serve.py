@@ -135,6 +135,133 @@ def test_index_page_served(synth):
         server.shutdown()
 
 
+def test_fetch_timeout_503_breaker_and_recovery(synth):
+    """Deadline-and-shed serving (VERDICT r3 next #3): a hung device
+    fetch (simulated via the Synthesizer's fetch hook) returns a timely
+    503 + Retry-After; while the circuit is open a second request gets
+    an IMMEDIATE 503; once the fetch recovers and the cooldown passes,
+    requests succeed again."""
+    import time
+    import urllib.error
+
+    import jax
+
+    from serve import make_handler
+
+    release = threading.Event()
+    hang = {"on": True}
+
+    def hanging_fetch(tree):
+        if hang["on"]:
+            release.wait(timeout=60)  # simulated relay wedge
+        return jax.device_get(tree)
+
+    server, port = _start(make_handler(
+        synth, fetch_timeout_s=0.3, breaker_cooldown_s=1.5))
+    # warm the program first (compile must not eat the watchdog budget)
+    synth._fetch_fn = None
+    synth.fetch_timeout_s = None
+    urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/tts?text=warm+me", timeout=600)
+    synth.fetch_timeout_s = 0.3
+    synth._fetch_fn = hanging_fetch
+    try:
+        t0 = time.time()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/tts?text=hello", timeout=30)
+        assert ei.value.code == 503
+        assert int(ei.value.headers["Retry-After"]) >= 1
+        assert time.time() - t0 < 10  # timely, not a 10-30 min hang
+        # circuit open: the next request 503s immediately (no watchdog
+        # wait, no new dispatch piled on the wedged relay)
+        t1 = time.time()
+        with pytest.raises(urllib.error.HTTPError) as e2:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/tts?text=world", timeout=30)
+        assert e2.value.code == 503
+        assert time.time() - t1 < 0.5
+        # relay "recovers": cooldown expires, the next request probes
+        # the device, succeeds, and closes the breaker
+        hang["on"] = False
+        release.set()
+        time.sleep(1.6)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/tts?text=back+again",
+                timeout=300) as r:
+            data = r.read()
+        assert data[:4] == b"RIFF"
+    finally:
+        synth._fetch_fn = None
+        synth.fetch_timeout_s = None
+        release.set()
+        server.shutdown()
+
+
+def test_queue_deadline_sheds_stale_requests(synth):
+    """With the batcher's dispatch wedged, queued requests past the
+    queue deadline are shed with 503 instead of waiting forever; after
+    recovery a fresh request succeeds."""
+    import time
+    import urllib.error
+
+    import jax
+
+    from serve import make_handler
+
+    release = threading.Event()
+    hang = {"on": True}
+
+    def hanging_fetch(tree):
+        if hang["on"]:
+            release.wait(timeout=60)
+        return jax.device_get(tree)
+
+    server, port = _start(make_handler(
+        synth, dynamic_batch=True, batch_window_ms=5.0,
+        fetch_timeout_s=1.0, queue_deadline_s=0.2,
+        breaker_cooldown_s=0.5))
+    synth._fetch_fn = None
+    synth.fetch_timeout_s = None
+    urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/tts?text=warm+me+too", timeout=600)
+    synth.fetch_timeout_s = 1.0
+    synth._fetch_fn = hanging_fetch
+    try:
+        results = {}
+
+        def req(name):
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/tts?text={name}",
+                        timeout=30) as r:
+                    results[name] = r.status
+            except urllib.error.HTTPError as e:
+                results[name] = e.code
+
+        ta = threading.Thread(target=req, args=("first",))
+        ta.start()
+        time.sleep(0.4)  # first is mid-dispatch (wedged); second queues
+        tb = threading.Thread(target=req, args=("second",))
+        tb.start()
+        ta.join(30)
+        tb.join(30)
+        assert results["first"] == 503   # watchdog timeout
+        assert results["second"] == 503  # shed (deadline) or breaker
+        hang["on"] = False
+        release.set()
+        time.sleep(0.6)  # past the breaker cooldown
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/tts?text=recovered",
+                timeout=300) as r:
+            assert r.read()[:4] == b"RIFF"
+    finally:
+        synth._fetch_fn = None
+        synth.fetch_timeout_s = None
+        release.set()
+        server.shutdown()
+
+
 def test_dynamic_batching_groups_concurrent_requests(synth):
     """Concurrent /tts requests within the window synthesize as ONE batched
     dispatch (X-Batch-Size > 1) and every caller gets a valid WAV."""
