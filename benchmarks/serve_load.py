@@ -25,6 +25,145 @@ import bench
 BENCH_TEXT = bench.LONG_TEXT  # the 28.6 s reference benchmark sentence
 
 
+SHORT_TEXT = "good morning to you"
+MEDIUM_TEXT = ("the quick brown fox jumps over the lazy dog while the "
+               "river runs quietly past the old stone bridge")
+# ~2x the bench sentence: phonemizes past the largest (512) bucket, so
+# /tts exercises the {sp}-segmentation path on every request
+XLONG_TEXT = BENCH_TEXT + " " + BENCH_TEXT
+# odd-length probes that map to (bucket, spec) shapes precompilation
+# never saw — with warm_only routing they must stay request-scale
+COLD_TEXTS = [
+    "a short cold shape probe",
+    "this particular cold probe sentence lands on yet another phoneme "
+    "bucket that the precompiled ladder has never seen before",
+]
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def run_soak(args, synth, server):
+    """Sustained mixed-traffic soak (VERDICT r3 next #4): concurrency
+    ramp, mixed lengths incl. >bucket segmentation, cold-shape
+    injections, optional speaker-conditioned traffic; reports served
+    RTF, p50/p99, error rate, and RSS stability."""
+    import random
+    from urllib.parse import quote
+
+    base = f"http://127.0.0.1:{args.port}/tts?text="
+    mix = [("short", SHORT_TEXT, 3), ("medium", MEDIUM_TEXT, 3),
+           ("long", args.text, 3), ("xlong", XLONG_TEXT, 1)]
+    pool = [(k, base + quote(t)) for k, t, w in mix for _ in range(w)]
+
+    levels = [1]
+    while levels[-1] < args.clients:
+        levels.append(min(levels[-1] * 2, args.clients))
+    soak_secs = args.soak * 60.0
+    phase_secs = soak_secs / len(levels)
+    t_start = time.time()
+    t_end = t_start + soak_secs
+
+    def level_now():
+        i = min(int((time.time() - t_start) / phase_secs), len(levels) - 1)
+        return levels[i]
+
+    records = []  # (t, latency_s, voice_s, kind, level, ok)
+    rec_lock = threading.Lock()
+    rss_samples = [(0.0, _rss_mb())]
+
+    def one_request(kind, url, rng):
+        if args.n_speakers > 1 and rng.random() < 0.2:
+            url += f"&speaker={rng.randrange(args.n_speakers)}"
+            kind += "+spk"
+        lvl = level_now()
+        t0 = time.time()
+        try:
+            with urllib.request.urlopen(url, timeout=120) as r:
+                nbytes = len(r.read())
+            ok, voice = True, max(0, nbytes - 44) / 2 / 22050.0
+        except Exception:
+            ok, voice = False, 0.0
+        with rec_lock:
+            records.append((time.time() - t_start, time.time() - t0,
+                            voice, kind, lvl, ok))
+
+    def client(ci):
+        rng = random.Random(ci)
+        while time.time() < t_end:
+            if ci >= level_now():  # not yet ramped in
+                time.sleep(0.5)
+                continue
+            kind, url = pool[rng.randrange(len(pool))]
+            one_request(kind, url, rng)
+
+    def injector():
+        rng = random.Random(999)
+        while time.time() < t_end:
+            time.sleep(30)
+            if time.time() >= t_end:
+                break
+            one_request("cold", base + quote(rng.choice(COLD_TEXTS)), rng)
+
+    def monitor():
+        while time.time() < t_end:
+            time.sleep(15)
+            rss_samples.append((time.time() - t_start, _rss_mb()))
+
+    threads = ([threading.Thread(target=client, args=(i,))
+                for i in range(args.clients)]
+               + [threading.Thread(target=injector, daemon=True),
+                  threading.Thread(target=monitor, daemon=True)])
+    for th in threads:
+        th.start()
+    for th in threads[:args.clients]:
+        th.join()
+    wall = time.time() - t_start
+    server.shutdown()
+    rss_samples.append((wall, _rss_mb()))
+
+    oks = [r for r in records if r[5]]
+    errs = [r for r in records if not r[5]]
+    lat = np.array([r[1] for r in oks]) * 1e3
+    served = sum(r[2] for r in oks)
+    print(f"\nsoak: {wall / 60:.1f} min, {len(records)} requests "
+          f"({len(errs)} errors, {len(errs) / max(1, len(records)):.2%}), "
+          f"ramp {levels}", flush=True)
+    print(f"overall: served {served:.0f}s audio -> served RTF "
+          f"{served / wall:.1f}; latency p50 {np.percentile(lat, 50):.0f} "
+          f"p90 {np.percentile(lat, 90):.0f} "
+          f"p99 {np.percentile(lat, 99):.0f} ms", flush=True)
+    for lvl in levels:
+        sub = [r for r in oks if r[4] == lvl]
+        if not sub:
+            continue
+        sl = np.array([r[1] for r in sub]) * 1e3
+        sv = sum(r[2] for r in sub)
+        span = max(r[0] for r in sub) - min(r[0] for r in sub) + 1e-9
+        print(f"  level {lvl:>3}: {len(sub):>5} reqs  RTF {sv / span:7.1f}"
+              f"  p50 {np.percentile(sl, 50):6.0f}  "
+              f"p99 {np.percentile(sl, 99):6.0f} ms", flush=True)
+    for kind in ("short", "medium", "long", "xlong", "cold"):
+        sub = np.array([r[1] for r in oks if r[3].startswith(kind)]) * 1e3
+        if len(sub):
+            print(f"  {kind:>6}: n {len(sub):>5}  p50 "
+                  f"{np.percentile(sub, 50):6.0f}  "
+                  f"p99 {np.percentile(sub, 99):6.0f} ms", flush=True)
+    spk = np.array([r[1] for r in oks if r[3].endswith("+spk")]) * 1e3
+    if len(spk):
+        print(f"  spkcnd: n {len(spk):>5}  p50 {np.percentile(spk, 50):6.0f}"
+              f"  p99 {np.percentile(spk, 99):6.0f} ms", flush=True)
+    rss = [m for _, m in rss_samples]
+    print(f"rss MB: start {rss[0]:.0f}  max {max(rss):.0f}  "
+          f"end {rss[-1]:.0f}  (drift {rss[-1] - rss[0]:+.0f})",
+          flush=True)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--clients", type=int, default=16)
@@ -39,6 +178,30 @@ def main():
                              "they ride the next-larger warm program, so "
                              "p99 must not blow up to remote-compile time "
                              "(round-3 VERDICT next #7)")
+    parser.add_argument("--soak", type=float, default=0.0, metavar="MIN",
+                        help="soak mode (VERDICT r3 next #4): run for "
+                             "MIN minutes of sustained mixed traffic — "
+                             "concurrency ramps 1→--clients in pow2 "
+                             "phases, text lengths mix short/medium/"
+                             "long/segmentation-path (>bucket), cold "
+                             "shapes inject every ~30 s, "
+                             "speaker-conditioned requests mix in when "
+                             "--n-speakers > 1.  Reports per-phase and "
+                             "overall served RTF, p50/p99, error rate, "
+                             "and RSS stability")
+    parser.add_argument("--n-speakers", type=int, default=1,
+                        help="build the served model with this many "
+                             "speakers; soak traffic then includes "
+                             "?speaker=K requests (direct path)")
+    parser.add_argument("--vocoder-mode", default="folded_pallas",
+                        help="folded_pallas (TPU default) or folded "
+                             "(pure-XLA — lets the soak harness smoke "
+                             "on CPU)")
+    parser.add_argument("--max-batch", type=int, default=0,
+                        help="cap the batcher / precompile ladder "
+                             "(default max(32, --clients); CPU smoke "
+                             "runs want a small cap — each ladder rung "
+                             "is a 30-120 s CPU compile)")
     args = parser.parse_args()
 
     from efficientspeech_tpu.utils.cache import enable_compilation_cache
@@ -56,14 +219,17 @@ def main():
     synth = build_synthesizer(
         preset="tiny",
         hifigan_checkpoint=hifigan if os.path.isfile(hifigan) else "",
-        transfer=args.transfer, vocoder_mode="folded_pallas",
-        bench_duration_bias=6.0)
+        transfer=args.transfer, vocoder_mode=args.vocoder_mode,
+        bench_duration_bias=6.0,
+        model_overrides={"n_speakers": args.n_speakers}
+        if args.n_speakers > 1 else None)
     synth.warmup(args.text, iters=2)
     # warm every pow2 batch shape the batcher can hit (mirrors serve.py
     # main()'s precompile loop — a cold shape stalls a whole dispatch
     # generation for the remote-compile time)
+    max_batch = args.max_batch or max(32, args.clients)
     b = 2
-    while b <= max(32, args.clients):
+    while b <= max_batch:
         synth.tts_batch([args.text] * b)
         b *= 2
     if args.cold_shape:
@@ -74,12 +240,16 @@ def main():
     lock = threading.Lock()
     handler = make_handler(synth, lock=lock, dynamic_batch=True,
                            batch_window_ms=args.batch_window_ms,
-                           max_batch=max(32, args.clients))
+                           max_batch=max_batch)
     server = ThreadingHTTPServer(("127.0.0.1", args.port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
 
     from urllib.parse import quote
+
+    if args.soak > 0:
+        run_soak(args, synth, server)
+        return
 
     url = f"http://127.0.0.1:{args.port}/tts?text=" + quote(args.text)
     # one warm request through the HTTP path

@@ -320,6 +320,14 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None,
                 self.end_headers()
                 self.wfile.write(body)
                 return
+            # optional multi-speaker conditioning (?speaker=K); a
+            # speaker-conditioned request takes the direct path — the
+            # batcher fuses same-conditioning requests only
+            try:
+                speaker = int((q.get("speaker") or ["-1"])[0])
+            except ValueError:
+                speaker = -1
+            speaker = speaker if speaker >= 0 else None
             if breaker.is_open():
                 # device wedged moments ago: shed immediately instead of
                 # stacking watchdog waits on the FIFO relay
@@ -372,11 +380,11 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None,
             from efficientspeech_tpu.infer import SynthesisTimeout
 
             try:
-                if batcher is not None:
+                if batcher is not None and speaker is None:
                     wav, info = batcher.submit(text)
                 else:
                     with lock:
-                        wav, info = synth.tts(text)
+                        wav, info = synth.tts(text, speaker=speaker)
                         breaker.close()
             except SynthesisTimeout as e:
                 # wedged dispatch: 503 now, breaker sheds the pile-up;
