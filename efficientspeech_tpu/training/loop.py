@@ -307,42 +307,85 @@ class Trainer:
             def predict(params, phoneme, mask):
                 pred = infer_model.apply({"params": params["phoneme2mel"]},
                                          phoneme, mask, train=False)
-                return pred["mel"], jnp.minimum(pred["mel_len"], max_mel)
+                # the rounded/clamped per-phoneme durations the length
+                # regulator consumed (acoustic.py inference branch) — the
+                # quality pass scores these against aligner durations
+                dur = jnp.where(mask, 0.0,
+                                jnp.maximum(
+                                    jnp.round(pred["duration"][..., 0]), 0.0))
+                return (pred["mel"], jnp.minimum(pred["mel_len"], max_mel),
+                        dur)
 
             self._val_predict = predict
         return self._val_predict
 
-    def validate_audio(self, epoch: int):
+    def validate_audio(self, epoch: int, quality_n: int = 16
+                       ) -> Optional[Dict[str, float]]:
+        """Validation wav dumps (reference: model.py:246-271) PLUS the
+        objective quality pass over the first ``quality_n`` val
+        utterances (eval/quality.py): MCD-DTW and duration MAE always;
+        F0 RMSE + voicing F1 of the predicted wav against the
+        reconstruction (ground-truth mel through the same vocoder) when
+        a vocoder is loaded.  Returns the aggregated metrics for
+        metrics.jsonl (VERDICT r3 next #6)."""
         vocode = self._get_vocoder()
-        if vocode is None:
-            return
         batch = next(iter(self.val_loader))
         # device-resident params, one compiled program (the val loader's
         # fixed_shape guarantees a single static batch shape)
-        mel, mel_len = self._get_val_predict()(
+        mel, mel_len, dur_pred = self._get_val_predict()(
             self.state.params, jnp.asarray(batch["phoneme"]),
             jnp.asarray(batch["phoneme_mask"]))
-        wavs = vocode(self.hifigan_params, mel, mel_len)
         hop = self.preprocess_cfg.audio.hop_length
-        lengths = np.asarray(jax.device_get(mel_len)) * hop
-        write_batch_wavs(np.asarray(jax.device_get(wavs), np.float32),
-                         lengths, self.train_cfg.wav_path, "prediction",
-                         self.preprocess_cfg.audio.sampling_rate,
-                         self.preprocess_cfg.audio.max_wav_value)
-
+        sr = self.preprocess_cfg.audio.sampling_rate
         gt_len = (~batch["mel_mask"]).sum(axis=1).astype(np.int32)
-        rec = vocode(self.hifigan_params, jnp.asarray(batch["mel"]),
-                     jnp.asarray(gt_len))
-        write_batch_wavs(np.asarray(jax.device_get(rec), np.float32),
-                         gt_len * hop, self.train_cfg.wav_path,
-                         "reconstruction",
-                         self.preprocess_cfg.audio.sampling_rate,
-                         self.preprocess_cfg.audio.max_wav_value)
-        os.makedirs(self.train_cfg.wav_path, exist_ok=True)
-        with open(os.path.join(self.train_cfg.wav_path, "prediction.txt"),
-                  "w") as f:
-            for t in batch["text"]:
-                f.write(t + "\n")
+        wavs = rec = None
+        if vocode is not None:
+            wavs = vocode(self.hifigan_params, mel, mel_len)
+            rec = vocode(self.hifigan_params, jnp.asarray(batch["mel"]),
+                         jnp.asarray(gt_len))
+        # one host fetch for everything the dump + quality pass needs
+        mel, mel_len, dur_pred, wavs, rec = jax.device_get(
+            (mel, mel_len, dur_pred, wavs, rec))
+        lengths = np.asarray(mel_len) * hop
+        if wavs is not None:
+            write_batch_wavs(np.asarray(wavs, np.float32), lengths,
+                             self.train_cfg.wav_path, "prediction",
+                             sr, self.preprocess_cfg.audio.max_wav_value)
+            write_batch_wavs(np.asarray(rec, np.float32), gt_len * hop,
+                             self.train_cfg.wav_path, "reconstruction",
+                             sr, self.preprocess_cfg.audio.max_wav_value)
+            os.makedirs(self.train_cfg.wav_path, exist_ok=True)
+            with open(os.path.join(self.train_cfg.wav_path,
+                                   "prediction.txt"), "w") as f:
+                for t in batch["text"]:
+                    f.write(t + "\n")
+
+        from efficientspeech_tpu.eval.quality import (
+            batch_quality,
+            duration_mae,
+            utterance_quality,
+        )
+
+        per_utt = []
+        for i in range(min(quality_n, len(batch["text"]))):
+            p_len, g_len = int(mel_len[i]), int(gt_len[i])
+            real = ~np.asarray(batch["phoneme_mask"][i])
+            if p_len < 1 or g_len < 1:
+                # an untrained duration predictor can emit an all-zero
+                # expansion — duration MAE is still defined (and is the
+                # signal that says WHY the mel is empty)
+                per_utt.append({"duration_mae_frames": duration_mae(
+                    dur_pred[i], batch["duration"][i], real)})
+                continue
+            per_utt.append(utterance_quality(
+                np.asarray(mel[i][:p_len], np.float32),
+                np.asarray(batch["mel"][i][:g_len], np.float32),
+                dur_pred=dur_pred[i], dur_gt=batch["duration"][i],
+                phoneme_real=real,
+                wav_pred=None if wavs is None else wavs[i][:p_len * hop],
+                wav_ref=None if rec is None else rec[i][:g_len * hop],
+                sr=sr, hop=hop))
+        return batch_quality(per_utt) if per_utt else None
 
     # --- main loop ----------------------------------------------------------
     def fit(self, max_epochs: Optional[int] = None,
@@ -451,7 +494,10 @@ class Trainer:
                 val = self.evaluate()
                 self.logger.log(step, {f"val_{k}": v for k, v in val.items()})
                 try:
-                    self.validate_audio(epoch)
+                    quality = self.validate_audio(epoch)
+                    if quality:
+                        self.logger.log(step, {f"val_{k}": v
+                                               for k, v in quality.items()})
                 except Exception as e:  # audio dumps must not kill training
                     print(f"validation audio dump failed: {e}")
             if max_steps is not None and step >= max_steps:

@@ -90,12 +90,24 @@ def test_val_pass_single_compiled_shape(preprocessed_corpus, tmp_path):
     batch = next(iter(trainer.val_loader))
     import numpy as np
 
-    mel, mel_len = pred(trainer.state.params,
-                        jnp.asarray(batch["phoneme"]),
-                        jnp.asarray(batch["phoneme_mask"]))
+    mel, mel_len, dur = pred(trainer.state.params,
+                             jnp.asarray(batch["phoneme"]),
+                             jnp.asarray(batch["phoneme_mask"]))
     assert mel.shape == (1, 256, 80)
+    assert dur.shape == (1, 32)
     assert pred._cache_size() == 1
     assert np.isfinite(np.asarray(mel)).all()
+
+    # objective quality pass (VERDICT r3 next #6): no vocoder loaded, so
+    # mel-side metrics only (F0 needs vocoded wavs); an untrained
+    # duration predictor may expand to zero frames, in which case the
+    # pass still reports duration MAE (the metric that explains why)
+    q = trainer.validate_audio(epoch=0)
+    assert q is not None
+    assert np.isfinite(q["duration_mae_frames"])
+    if "mcd_db" in q:
+        assert np.isfinite(q["mcd_db"]) and q["mcd_db"] > 0
+    assert "f0_rmse_hz" not in q
 
 
 def test_sigterm_checkpoints_and_returns(preprocessed_corpus, tmp_path):
