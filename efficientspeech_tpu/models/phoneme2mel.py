@@ -19,7 +19,7 @@ class Phoneme2Mel(nn.Module):
     # rematerialize the mel decoder under grad: EXACT same numerics, but
     # the backward recomputes the (cheap, 2.9 ms) forward instead of
     # spilling every frame-rate intermediate — measured 11.0 → 7.5 ms
-    # decoder backward at batch 128 (benchmarks/train_bisect4.py)
+    # decoder backward at batch 128 (benchmarks/train_bisect.py --suite remat)
     remat_decoder: bool = False
     # fused Pallas LayerNorms in the mel decoder (see MelDecoder.fused_norm)
     fused_decoder_norm: bool = False

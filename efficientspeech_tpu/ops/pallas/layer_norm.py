@@ -3,7 +3,7 @@
 Why: the training step's mel-decoder backward is dominated by LayerNorm at
 (B·M, C=128) — XLA compiles the lane-dim reductions + f32 stat casts into
 ~0.6 ms fwd / ~1.4 ms bwd PER NORM at batch 128 (benchmarks/
-train_bisect2.py), an order of magnitude over the ~0.1 ms traffic floor.
+train_bisect.py --suite primitives), an order of magnitude over the ~0.1 ms traffic floor.
 This kernel tiles rows into VMEM, computes the f32 statistics in-register,
 and the BACKWARD RECOMPUTES the statistics from x instead of spilling
 per-row mean/rstd (or worse, the f32 activations) to HBM: residuals are

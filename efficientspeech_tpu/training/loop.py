@@ -89,8 +89,8 @@ class Trainer:
             self.model_cfg = model_cfg
         # fused Pallas LayerNorms + fused decoder-block kernel in the mel
         # decoder: exact semantics, measured 15.35 -> 13.03 ms/step (LN,
-        # benchmarks/train_bisect6.py) and further with the block kernel
-        # (benchmarks/train_bisect8.py) at batch 128 on the v5e; CPU
+        # benchmarks/train_bisect.py --suite fused-ln) and further with the block kernel
+        # (benchmarks/train_bisect.py --suite fused-block) at batch 128 on the v5e; CPU
         # backends use the plain path (same numerics — purely perf knobs)
         # pallas_call has no GSPMD partitioning rule, so the fused kernels
         # are single-device-mesh only (the multi-chip path uses the plain
