@@ -182,6 +182,16 @@ def main(argv=None):
     parser.add_argument("--max-utterances", type=int, default=2000,
                         help="utterance cap for the --from-acoustic "
                              "pair-building sweep (bounds host RAM)")
+    parser.add_argument("--holdout-frac", type=float, default=0.0,
+                        help="--from-acoustic only: hold this fraction of "
+                             "the teacher-forced pairs OUT of training and "
+                             "score the generator on them (mel-L1 + multi-"
+                             "resolution STFT distance, eval/vocoder_eval"
+                             ".py) BEFORE and AFTER fine-tuning — the "
+                             "before/after evidence the reference's "
+                             "bundled LJ_FT_T2_V2 weights lack")
+    parser.add_argument("--eval-batch", type=int, default=8,
+                        help="static batch of the holdout eval sweep")
     parser.add_argument("--checkpoint-dir", default="vocoder_ckpt")
     parser.add_argument("--log-dir", default="vocoder_logs")
     parser.add_argument("--checkpoint-every", type=int, default=500)
@@ -273,13 +283,39 @@ def main(argv=None):
     seg_frames = args.segment // hop
 
     acoustic_pairs = None
+    holdout_pairs = None
     if args.from_acoustic:
         acoustic_pairs, hop, n_mels = build_acoustic_pairs(
             args.from_acoustic, args.acoustic_preset,
             args.preprocess_config, args.max_utterances, args.seed)
         seg_frames = args.segment // hop
+        if args.holdout_frac > 0 and len(acoustic_pairs) >= 2:
+            # build_acoustic_pairs already visits utterances in a seeded
+            # random permutation, so a tail slice is a random split
+            k = max(1, int(round(len(acoustic_pairs) * args.holdout_frac)))
+            k = min(k, len(acoustic_pairs) - 1)
+            holdout_pairs = acoustic_pairs[-k:]
+            acoustic_pairs = acoustic_pairs[:-k]
         print(f"fine-tuning on {len(acoustic_pairs)} teacher-forced "
-              f"acoustic-mel/audio pairs from {args.from_acoustic}")
+              f"acoustic-mel/audio pairs from {args.from_acoustic}"
+              + (f" ({len(holdout_pairs)} held out)" if holdout_pairs
+                 else ""))
+
+    def eval_holdout(phase, state):
+        from efficientspeech_tpu.eval.vocoder_eval import (
+            evaluate_pairs, make_holdout_eval)
+
+        if not hasattr(eval_holdout, "_fn"):
+            eval_holdout._fn = make_holdout_eval(gen, audio)
+        m = evaluate_pairs(gen, state.gen_params, holdout_pairs, audio,
+                           batch=args.eval_batch, eval_fn=eval_holdout._fn)
+        m = {k: round(float(v), 5) for k, v in m.items()}
+        m.update(eval="holdout", phase=phase,
+                 step=int(jax.device_get(state.step)))
+        print(m, flush=True)
+        log_f.write(json.dumps(m) + "\n")
+        log_f.flush()
+        return m
 
     def sample_batch():
         b = args.batch_size
@@ -313,6 +349,8 @@ def main(argv=None):
                 out[i] = wav[s: s + args.segment]
         return out
 
+    before = eval_holdout("before", state) if holdout_pairs else None
+
     t0 = time.time()
     metrics = None
     for step in range(start_step + 1, args.steps + 1):
@@ -333,6 +371,11 @@ def main(argv=None):
         if step % args.checkpoint_every == 0:
             save(state)
     path = save(state)
+    if holdout_pairs:
+        after = eval_holdout("after", state)
+        print("holdout delta (after - before): "
+              + ", ".join(f"{k} {after[k] - before[k]:+.5f}"
+                          for k in ("mel_l1", "mr_stft")))
     print(f"done at step {int(jax.device_get(state.step))}; "
           f"checkpoint {path}")
 
