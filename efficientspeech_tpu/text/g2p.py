@@ -48,6 +48,7 @@ def read_lexicon(lex_path: str) -> Dict[str, List[str]]:
 _SUFFIXES = [
     ("ission", ["IH1", "SH", "AH0", "N"]),
     ("ession", ["EH1", "SH", "AH0", "N"]),
+    ("ition", ["IH1", "SH", "AH0", "N"]),
     ("ation", ["EY1", "SH", "AH0", "N"]),
     ("ision", ["IH1", "ZH", "AH0", "N"]),
     ("cious", ["SH", "AH0", "S"]),
@@ -85,12 +86,15 @@ _SUFFIX_MIN_STEM = {"ing": 3, "ly": 3, "ous": 3, "ness": 3, "ment": 2,
                     "able": 2, "en": 4, "et": 4, "ed": 3, "le": 3}
 
 _DIGRAPHS = [
+    ("eigh", ["EY1"]), ("iew", ["Y", "UW1"]), ("olk", ["OW1", "K"]),
     ("tch", ["CH"]), ("igh", ["AY1"]), ("dge", ["JH"]), ("alk", ["AO1", "K"]),
     ("ook", ["UH1", "K"]), ("ange", ["EY1", "N", "JH"]),
     ("air", ["EH1", "R"]),
     ("oar", ["AO1", "R"]),
+    ("cei", ["S", "IY1"]),
     ("ch", ["CH"]), ("sh", ["SH"]), ("th", ["TH"]), ("ph", ["F"]),
     ("wh", ["W"]), ("ck", ["K"]), ("ng", ["NG"]), ("qu", ["K", "W"]),
+    ("eer", ["IH1", "R"]),
     ("oo", ["UW1"]), ("ee", ["IY1"]), ("ea", ["IY1"]), ("ai", ["EY1"]),
     ("ay", ["EY1"]), ("oa", ["OW1"]), ("ou", ["AW1"]), ("ow", ["AW1"]),
     ("ong", ["AO1", "NG"]), ("old", ["OW1", "L", "D"]),
@@ -137,6 +141,26 @@ def _demote_stress(phones: List[str]) -> List[str]:
     return [p.replace("1", "0") if p.endswith("1") else p for p in phones]
 
 
+def _pretonic(phones: List[str]) -> List[str]:
+    """Demote stress and centralize the low/back vowels (the syllables
+    before a stress-bearing Greek/Latin tail reduce: phot- in
+    photography is /fə/, mon- in monopoly /mə/); high/front vowels keep
+    their quality (ge- in geology stays /iː/), as does AA before R."""
+    out = []
+    for j, p in enumerate(phones):
+        if p[-1:] in "12":
+            base = p[:-1]
+            nxt_r = j + 1 < len(phones) and phones[j + 1] == "R"
+            if base in ("AA", "AE", "EY", "OW", "UW", "AH", "AO") \
+                    and not (base == "AA" and nxt_r):
+                out.append("AH0")
+            else:
+                out.append(base + "0")
+        else:
+            out.append(p)
+    return out
+
+
 def normalize_stress(phones: List[str]) -> List[str]:
     """At most ONE primary stress: the first '1' stays primary, later '1's
     become secondary '2' (English default: initial stress; stress-bearing
@@ -153,7 +177,27 @@ def normalize_stress(phones: List[str]) -> List[str]:
 
 def rule_g2p(word: str) -> List[str]:
     """Heuristic English letter-to-sound; returns ARPAbet phones."""
-    return normalize_stress(_rule_g2p(word))
+    return _reduce_posttonic(normalize_stress(_rule_g2p(word)))
+
+
+def _reduce_posttonic(phones: List[str]) -> List[str]:
+    """In a 3+-syllable word with initial primary stress, the vowel right
+    after the stressed syllable REDUCES (telescope, victory, oxygen,
+    saxophone) — the letterwise evaluation leaves it full.  Before R the
+    reduction is the r-colored schwa (victory → /ɚ/, generous)."""
+    vidx = [i for i, p in enumerate(phones) if p[-1:].isdigit()]
+    if len(vidx) < 3:
+        return phones
+    v0, v1 = vidx[0], vidx[1]
+    if not phones[v0].endswith("1") or not phones[v1].endswith("2"):
+        return phones
+    out = list(phones)
+    if v1 + 1 < len(out) and out[v1 + 1] == "R":
+        out[v1: v1 + 2] = ["ER0"]
+    else:
+        out[v1] = "IH0" if out[v1][:2] in ("IY", "IH", "EH", "AY") \
+            else "AH0"
+    return out
 
 
 def _rule_g2p(word: str) -> List[str]:
@@ -161,6 +205,22 @@ def _rule_g2p(word: str) -> List[str]:
     word = "".join(c for c in word if c.isalpha() or c == "'")
     if not word:
         return []
+
+    # the closed set of silent-h stems (hour/honor are lexicon entries;
+    # this catches their derivatives and the honest/heir families)
+    if word.startswith("heir"):
+        rest = _rule_g2p(word[4:]) if len(word) > 4 else []
+        return ["EH1", "R"] + _demote_stress(rest)
+    if word.startswith("honest"):
+        tail = {"": [], "ly": ["L", "IY0"], "y": ["IY0"]}.get(
+            word[6:], None)
+        if tail is not None:
+            return ["AA1", "N", "AH0", "S", "T"] + tail
+    if word.startswith("hono"):
+        return _rule_g2p(word[1:])
+    if word.startswith("herb"):
+        return ["ER1", "B"] + _demote_stress(
+            _rule_g2p(word[4:]) if len(word) > 4 else [])
 
     for suffix, ph in _SUFFIXES:
         min_stem = _SUFFIX_MIN_STEM.get(suffix, 1)
@@ -255,14 +315,143 @@ def _rule_g2p(word: str) -> List[str]:
                 stem = red
             return stem + ph
 
-    # past-tense -ed: allomorph chosen by the stem's final phone
+    # past-tense -ed: allomorph chosen by the stem's final phone (the
+    # stem must keep a vowel — shred/seaweed end in ROOT -ed)
     if word.endswith("ed") and len(word) - 2 >= _SUFFIX_MIN_STEM["ed"]:
         stem = _rule_g2p(word[:-2])
-        if stem:
+        if stem and _has_vowel(stem):
             last = stem[-1]
             if last in ("T", "D"):
                 return stem + ["IH0", "D"]
             return stem + (["T"] if last in _VOICELESS else ["D"])
+
+    # unstressed word-final -ar/-or after a consonant reduce to /ɚ/ in
+    # polysyllables (grammar, doctor, regular); monosyllables (car, for)
+    # keep the full vowel via the ar/or digraphs
+    if len(word) >= 5 and word[-2:] in ("ar", "or") \
+            and word[-3] not in _VOWEL_LETTERS:
+        stem_word = word[:-2]
+        if any(ch in _VOWEL_LETTERS for ch in stem_word):
+            if len(stem_word) >= 3 and stem_word[-2] in "aeiou" \
+                    and stem_word[-1] not in _VOWEL_LETTERS \
+                    and stem_word[-3] not in _VOWEL_LETTERS \
+                    and sum(ch in _VOWEL_LETTERS
+                            for ch in stem_word) == 1:
+                # mo+tor, ra+zor: the stem syllable is OPEN — evaluate
+                # as if magic-e so the vowel stays long
+                stem = _rule_g2p(stem_word + "e")
+            else:
+                stem = _rule_g2p(stem_word)
+            if stem and _has_vowel(stem):
+                return stem + ["ER0"]
+
+    # unstressed word-final -age is /ɪdʒ/ in polysyllables (village,
+    # package, message); monosyllables (age, stage) keep /eɪdʒ/
+    if len(word) >= 6 and word.endswith("age") \
+            and word[-4] not in _VOWEL_LETTERS:
+        stem = _rule_g2p(word[:-3])
+        if stem and _has_vowel(stem):
+            return stem + ["IH0", "JH"]
+
+    # Greek/Latin stress-bearing tails: the ending carries the
+    # antepenultimate stress and the stem demotes + centralizes
+    # (geology, photography, thermometer, democracy, activity)
+    for gk_suf, gk_ph in (
+            ("ology", ["AA1", "L", "AH0", "JH", "IY0"]),
+            ("ography", ["AA1", "G", "R", "AH0", "F", "IY0"]),
+            ("ometer", ["AA1", "M", "AH0", "T", "ER0"]),
+            ("opoly", ["AA1", "P", "AH0", "L", "IY0"]),
+            ("onomy", ["AA1", "N", "AH0", "M", "IY0"]),
+            ("osophy", ["AA1", "S", "AH0", "F", "IY0"]),
+            ("ocracy", ["AA1", "K", "R", "AH0", "S", "IY0"]),
+            ("ality", ["AE1", "L", "AH0", "T", "IY0"]),
+            ("ivity", ["IH1", "V", "AH0", "T", "IY0"])):
+        if word.endswith(gk_suf) and len(word) - len(gk_suf) >= 1:
+            stem = _rule_g2p(word[: -len(gk_suf)])
+            if stem and _has_vowel(stem):
+                return _pretonic(stem) + gk_ph
+
+    # -ity keeps the stem's stress and reduces (gravity, quantity);
+    # soft-c stems fold the /s/ into the suffix (velocity, capacity)
+    for ity_suf, ity_ph in (("city", ["S", "IH0", "T", "IY0"]),
+                            ("ity", ["IH0", "T", "IY0"])):
+        if word.endswith(ity_suf) and len(word) - len(ity_suf) >= 3:
+            stem = _rule_g2p(word[: -len(ity_suf)])
+            if stem and _has_vowel(stem):
+                return stem + ity_ph
+
+    # word-final -gue: the ue is silent (plague, league, fatigue, vogue)
+    for gue_suf, gue_ph in (("ague", ["EY1", "G"]),
+                            ("eague", ["IY1", "G"]),
+                            ("igue", ["IY1", "G"]),
+                            ("ogue", ["OW1", "G"])):
+        if word.endswith(gue_suf):
+            head = word[: -len(gue_suf)]
+            if head and all(ch not in "aeiou" for ch in head[-1:]):
+                head_ph = _rule_g2p(head) if head else []
+                return head_ph + gue_ph
+
+    # -rtain/-ntain/-ptain nouns reduce the tail (curtain, fountain,
+    # captain); maintain/obtain-class verbs are lexicon entries
+    if word.endswith("tain") and len(word) >= 7 \
+            and (word[-5] in "rp"
+                 or (word[-5] == "n" and word[-6] == "u")):
+        stem = _rule_g2p(word[:-4])
+        if stem and _has_vowel(stem):
+            return stem + ["T", "AH0", "N"]
+
+    # -ic/-ics/-ical stress the syllable RIGHT BEFORE the suffix and lax
+    # its vowel (dramatic, kinetic, electric, terrific); the pretonic
+    # syllables reduce.  Long u resists the laxing (music, cubic).
+    for ic_suf, ic_ph in (("ically", ["IH0", "K", "L", "IY0"]),
+                          ("ical", ["IH0", "K", "AH0", "L"]),
+                          ("ics", ["IH0", "K", "S"]),
+                          ("ic", ["IH0", "K"])):
+        if word.endswith(ic_suf) and len(word) - len(ic_suf) >= 3:
+            base = word[: -len(ic_suf)]
+            vs = [j for j, ch in enumerate(base) if ch in _VOWEL_LETTERS]
+            if not vs:
+                break
+            v = vs[-1]
+            head, coda = base[:v], base[v + 1:]
+            if base[v] == "u":
+                nucleus = ["Y", "UW1"] if not head \
+                    or head[-1] not in "lrjdtsn" else ["UW1"]
+            else:
+                nucleus = [_SHORT_VOWELS[base[v]]]
+            head_ph = []
+            if head:
+                head_ph = _rule_g2p(head)
+                if not head_ph:
+                    break
+                head_ph = _pretonic(head_ph)
+            coda_ph = []
+            if coda:
+                # evaluate the coda between probe vowels so c/g soften
+                # before the suffix (magic → /dʒ/) and s voices
+                # intervocalically (music → /z/), then strip the probes
+                coda_ph = _rule_g2p("a" + coda + "i")
+                while coda_ph and coda_ph[-1][-1:] in "012":
+                    coda_ph.pop()
+                while coda_ph and coda_ph[0][-1:] in "012":
+                    coda_ph.pop(0)
+            return head_ph + nucleus + coda_ph + ic_ph
+
+    # -geon/-cheon endings are /dʒən/ /tʃən/ (pigeon, surgeon, luncheon)
+    if len(word) >= 6 and word.endswith("cheon"):
+        stem = _rule_g2p(word[:-5])
+        if stem and _has_vowel(stem):
+            return stem + ["CH", "AH0", "N"]
+    if len(word) >= 5 and word.endswith("geon"):
+        stem = _rule_g2p(word[:-4])
+        if stem and _has_vowel(stem):
+            return stem + ["JH", "AH0", "N"]
+
+    # -rious after a vowel is /riəs/ (glorious, furious, curious)
+    if len(word) >= 7 and word.endswith("rious"):
+        stem = _rule_g2p(word[:-5])
+        if stem and _has_vowel(stem):
+            return stem + ["R", "IY0", "AH0", "S"]
 
     phones: List[str] = []
     n = len(word)
@@ -285,6 +474,62 @@ def _rule_g2p(word: str) -> List[str]:
         c = word[i]
         nxt = word[i + 1] if i + 1 < n else ""
         nxt2 = word[i + 2] if i + 2 < n else ""
+
+        # word-initial silent consonants: gn- (gnome, gnash), ps- (psalm,
+        # psychology); kn-/wr- are in the digraph table
+        if i == 0 and c in "gp" and nxt == ("n" if c == "g" else "s") \
+                and n >= 3:
+            i += 1
+            continue
+        # word-final silent b/n after m (numb, crumb, climb; hymn, autumn)
+        if c == "m" and nxt in "bn" and i + 2 == n:
+            phones.append("M")
+            break
+        # V+rr+V: the doubled r keeps the first vowel SHORT and reads as
+        # one /r/ (carry, berry, mirror, borrow, hurry) — without this the
+        # r-digraphs (ar, or, ...) swallow one r and re-emit the other
+        if c in "aeiou" and nxt == "r" and nxt2 == "r" \
+                and i + 3 < n and word[i + 3] in _VOWEL_LETTERS:
+            phones.extend({"a": ["AE1", "R"], "e": ["EH1", "R"],
+                           "i": ["IH1", "R"], "o": ["AA1", "R"],
+                           "u": ["ER1"]}[c])
+            i += 3
+            continue
+        # eu reads /juː/ after labials/velars and word-initially (feud,
+        # Europe), plain /uː/ elsewhere (neutral, deuce — GenAm yod-drops)
+        if c == "e" and nxt == "u" and not (silent_final_e and i + 2 == n):
+            if i == 0 or word[i - 1] in "fpbmkgvh":
+                phones.extend(["Y", "UW1"])
+            else:
+                phones.append("UW1")
+            i += 2
+            continue
+        # xc before e/i/y is /ks/ (excite, except, excellent) — letterwise
+        # x(/ks/) + soft c would double the /s/
+        if c == "x" and nxt == "c" and nxt2 in "eiy":
+            phones.extend(["K", "S"])
+            i += 2
+            continue
+        # medial tur+V palatalizes (natural, century, saturate)
+        if c == "t" and nxt == "u" and nxt2 == "r" and i + 3 < n \
+                and word[i + 3] in _VOWEL_LETTERS and i > 0:
+            phones.extend(["CH", "ER0"])
+            i += 3
+            continue
+        # Greek combining prefixes keep the long i/y (microphone,
+        # hydrogen, nitroglycerin)
+        if i == 0 and word.startswith(("micro", "nitro", "hydro")) \
+                and n >= 6:
+            phones.extend([_CONSONANTS[c], "AY1"])
+            i += 2
+            continue
+        # word-initial e+r+V is the reduced /ɪr/ (erase, erosion, erupt);
+        # "err"+V (errand) is caught by the doubled-r rule above
+        if i == 0 and c == "e" and nxt == "r" and nxt2 in _VOWEL_LETTERS \
+                and nxt2 != "r" and n >= 5:
+            phones.extend(["IH0", "R"])
+            i += 2
+            continue
 
         # doubled consonant letters are ONE phone, and they close the
         # preceding syllable (summer/letter/rabbit keep short vowels
@@ -358,6 +603,15 @@ def _rule_g2p(word: str) -> List[str]:
         if c == "w" and nxt == "o" and nxt2 == "r" and i + 3 < n \
                 and word[i + 3] not in _VOWEL_LETTERS:
             phones.extend(["W", "ER1"])
+            # a doubled r folds into the r-colored vowel (worry)
+            i += 4 if word[i + 3] == "r" else 3
+            continue
+        # war+consonant reads /wɔr/ (warp, ward, wharf; warm/warn are
+        # lexicon words anyway)
+        if c == "w" and nxt == "a" and nxt2 == "r" and i + 3 < n \
+                and word[i + 3] not in _VOWEL_LETTERS \
+                and word[i + 3] != "r":
+            phones.extend(["W", "AO1", "R"])
             i += 3
             continue
         # ear+consonant reads /ɝ/ (earth, learn, heard, early; heart and
@@ -414,6 +668,12 @@ def _rule_g2p(word: str) -> List[str]:
         if matched:
             continue
         if c in _VOWEL_LETTERS:
+            # word-final unstressed -ey is /iː/ (valley, money, monkey);
+            # obey/survey-class exceptions live in the lexicon
+            if c == "e" and nxt == "y" and i + 2 == n \
+                    and _has_vowel(phones):
+                phones.append("IY0")
+                break
             # reduced FINAL closed syllable: V + single final consonant
             # with an earlier vowel already emitted (open, pilot, problem,
             # cabin, silent...) — schwa, not a full vowel
@@ -449,6 +709,16 @@ def _rule_g2p(word: str) -> List[str]:
                     and i + 4 == n)
                 or (i == n - 1 and n >= 2 and c in "iou")
             )
+            # medial ie reads /iː/ (grief, field, shield, piece); final
+            # ie is /aɪ/ (die, tie), -ied/-ies keep the y-inflection
+            # reading (tried, flies), and -iet/-ient are hiatus (quiet,
+            # diet, client)
+            if c == "i" and nxt == "e" and i + 2 < n \
+                    and not (i + 2 == n - 1 and word[-1] in "ds") \
+                    and not word.endswith("t"):
+                phones.append("IY1")
+                i += 2
+                continue
             # i in hiatus before a/o/u: stressed early = /aɪ/ (giant,
             # lion, quiet), later = /iː/ (radio, period)
             if c == "i" and nxt in "aou":
@@ -465,10 +735,13 @@ def _rule_g2p(word: str) -> List[str]:
                 continue
             if c == "y" and i == n - 1 and not silent_final_e:
                 phones.append("IY0" if n > 3 else "AY1")
-            elif c == "a" and i > 0 and word[i - 1] == "w" \
-                    and not long_pos and nxt != "g":
-                # wa- darkens to /ɑ/ (want, wash, watch) except before
-                # g (wag, wagon, swagger)
+            elif c == "a" and i > 0 \
+                    and (word[i - 1] == "w"
+                         or (i >= 2 and word[i - 2: i] == "qu")) \
+                    and not long_pos and nxt != "g" \
+                    and not (nxt == "c" and nxt2 == "k"):
+                # wa-/qua- darken to /ɑ/ (want, wash, squad, quality)
+                # except before g (wag, wagon) and ck (quack)
                 phones.append("AA1")
             elif c == "o" and nxt == "g" and i + 2 == n:
                 phones.append("AO1")  # final -og (dog, log, fog)
@@ -493,9 +766,11 @@ def _rule_g2p(word: str) -> List[str]:
             prev = word[i - 1]
             phones.append("Z" if prev in "bdgvlmnrw" or prev in _VOWEL_LETTERS else "S")
         elif c == "s" and 0 < i and nxt and word[i - 1] in _VOWEL_LETTERS \
-                and nxt in _VOWEL_LETTERS:
+                and nxt in _VOWEL_LETTERS \
+                and not (nxt == "e" and i + 2 == n and word[i - 1] == "a"):
             # intervocalic s voices (music, visit); before u it
-            # palatalizes (usual, casual, visual)
+            # palatalizes (usual, casual, visual); final -ase stays
+            # voiceless (base, case, erase — phrase is a lexicon word)
             phones.append("ZH" if nxt == "u" else "Z")
         elif c == "s" and 0 < i and word[i - 1] == "m" \
                 and nxt in _VOWEL_LETTERS:
@@ -601,7 +876,9 @@ class G2p:
 
     _NOT_COMPOUND_TAILS = {"able", "less", "ness", "ment", "ing", "ably",
                            "nation", "ration", "cation", "ture", "tion",
-                           "sion", "tious", "cious"}
+                           "sion", "tious", "cious", "ion", "ions", "age",
+                           "ive", "sure", "ture", "ure", "king", "kings",
+                           "ring", "rings"}
 
     # short words allowed as a compound's LEFT member (uphill, outdoors)
     _PREFIX_WORDS = {"up", "down", "out", "in", "over", "under", "back",
@@ -617,6 +894,7 @@ class G2p:
         "er": ["ER0"], "est": ["AH0", "S", "T"],
         "able": ["AH0", "B", "AH0", "L"],
         "ation": ["EY1", "SH", "AH0", "N"],
+        "ive": ["IH0", "V"],
     }
     _SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
 
@@ -637,7 +915,9 @@ class G2p:
         regular suffix phonology (movement, agreements, safely, making)."""
         for suffix in ("s", "es", "ed"):
             if word.endswith(suffix) and len(word) - len(suffix) >= 3:
-                stem = self._lookup_stem(word[: -len(suffix)])
+                # a derived form inflects too (protections, villagers)
+                stem = self._lookup_stem(word[: -len(suffix)]) \
+                    or self._derived(word[: -len(suffix)]) or None
                 if stem:
                     last = stem[-1].rstrip("012")
                     if suffix == "ed":
@@ -655,20 +935,25 @@ class G2p:
                 stem = self._lookup_stem(word[: -len(suffix)])
                 if stem:
                     return stem + list(tail)
+        if word.endswith("y") and len(word) - 1 >= 4:
+            # adjectival -y on a LONG stem (snowy, rainy, dirty, crazy);
+            # short stems (tiny, lady) are lexical, not derivational
+            stem = self._lookup_stem(word[:-1])
+            if stem:
+                return stem + ["IY0"]
         if word.endswith("ion") and len(word) - 3 >= 3:
             # -ion nominalization with the sibilant mutation
-            # (possess+ion → /ʃ/, quest+ion → /tʃ/, stat(e)+ion);
-            # D-stems shift the vowel too (divide → division) and are
-            # left to the lexicon
+            # (possess+ion → /ʃ/, protect/invent+ion → /ʃ/,
+            # quest+ion → /tʃ/); D-stems shift the vowel too
+            # (divide → division) and are left to the lexicon
             stem = self._lookup_stem(word[:-3])
             if stem:
                 last = stem[-1].rstrip("012")
                 if last == "S":
                     return stem[:-1] + ["SH", "AH0", "N"]
-                if last == "T" and len(stem) >= 2 \
-                        and stem[-2].rstrip("012") == "S":
-                    return stem[:-1] + ["CH", "AH0", "N"]
-                if last == "T" and stem[-2].endswith(("1", "2")):
+                if last == "T":
+                    if len(stem) >= 2 and stem[-2].rstrip("012") == "S":
+                        return stem[:-1] + ["CH", "AH0", "N"]
                     return stem[:-1] + ["SH", "AH0", "N"]
         return []
 
