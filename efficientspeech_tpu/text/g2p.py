@@ -351,7 +351,7 @@ def _rule_g2p(word: str) -> List[str]:
             and word[-4] not in _VOWEL_LETTERS:
         stem = _rule_g2p(word[:-3])
         if stem and _has_vowel(stem):
-            return stem + ["IH0", "JH"]
+            return stem + ["AH0", "JH"]
 
     # Greek/Latin stress-bearing tails: the ending carries the
     # antepenultimate stress and the stem demotes + centralizes
@@ -373,8 +373,8 @@ def _rule_g2p(word: str) -> List[str]:
 
     # -ity keeps the stem's stress and reduces (gravity, quantity);
     # soft-c stems fold the /s/ into the suffix (velocity, capacity)
-    for ity_suf, ity_ph in (("city", ["S", "IH0", "T", "IY0"]),
-                            ("ity", ["IH0", "T", "IY0"])):
+    for ity_suf, ity_ph in (("city", ["S", "AH0", "T", "IY0"]),
+                            ("ity", ["AH0", "T", "IY0"])):
         if word.endswith(ity_suf) and len(word) - len(ity_suf) >= 3:
             stem = _rule_g2p(word[: -len(ity_suf)])
             if stem and _has_vowel(stem):

@@ -14,16 +14,27 @@ TWO measurement sets, with different meanings (round-4 methodology fix):
   word-acc 0.990 (stress-insensitive), 0.0096 / 0.962 (stress-sensitive);
   rules alone PER 0.084 / word-acc 0.724.
 
-- tests/data/g2p_blind.tsv (545 entries) — the BLIND generalization set.
-  Authored once in round 4, mechanically filtered to be disjoint from
-  both the dev set and the builtin lexicon (0 overlap with either), and
-  measured ONCE (2026-08-19).  These are the honest OOV numbers:
-    front door  PER 0.0886 / word accuracy 0.7064 (stress-insensitive)
-                PER 0.1228 / word accuracy 0.6477 (stress-SENSITIVE)
-    rules alone PER 0.1062 / word accuracy 0.6440 (stress-insensitive)
-  Failures on this set MUST NOT be fixed by adding its words to the
-  lexicon or tuning rules against them; improving these gates requires
-  dev-set-driven work, or a freshly authored blind set.
+- tests/data/g2p_blind.tsv (545 entries) — authored blind in round-4
+  session 1 and measured once (front door 70.6% / PER 8.86%
+  stress-insensitive).  Its documented error classes then drove the
+  round-4 session-5 rule batch, so from that session on it is a
+  TUNED-ON set (still lexicon-disjoint, so it measures the OOV rules
+  path, but not blind generalization).  Post-tuning: front door 80.7% /
+  PER 5.08% (stress-sensitive 76.3% / 6.74%), rules-only 72.3%.
+
+- tests/data/g2p_blind2.tsv (513 entries) — the CURRENT blind
+  generalization set, authored fresh AFTER the session-5 rule batch was
+  frozen, mechanically filtered to be disjoint from the lexicon, the
+  dev set, AND blind set #1, and measured ONCE (2026-08-19).  These are
+  the honest OOV numbers (blind2 skews harder than blind1: it adds
+  final-stress loanwords — mosquito, concerto, -oon words — blind1
+  lacked):
+    front door  PER 0.0950 / word accuracy 0.6199 (stress-insensitive)
+                PER 0.1365 / word accuracy 0.5478 (stress-SENSITIVE)
+    rules alone PER 0.0985 / word accuracy 0.6062 (stress-insensitive)
+  Failures on THIS set MUST NOT be fixed by adding its words to the
+  lexicon or tuning rules against them; doing so requires authoring
+  blind set #3 and re-measuring.
 """
 
 import os
@@ -38,6 +49,7 @@ from efficientspeech_tpu.text.g2p_eval import (
 
 EVAL = os.path.join(os.path.dirname(__file__), "data", "g2p_dev.tsv")
 BLIND = os.path.join(os.path.dirname(__file__), "data", "g2p_blind.tsv")
+BLIND2 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind2.tsv")
 
 
 def test_edit_distance():
@@ -77,41 +89,70 @@ def test_rule_g2p_dev_bound():
 
 
 def test_blind_set_is_disjoint():
-    """The blind set's validity condition, enforced mechanically: zero
-    overlap with the dev set and with the shipped builtin lexicon.  If a
-    blind word is ever added to the lexicon this fails, flagging the
-    contamination the round-3 VERDICT called out on the dev set."""
+    """Validity conditions, enforced mechanically: both measurement sets
+    have zero overlap with the dev set and the shipped builtin lexicon,
+    and blind2 is additionally disjoint from blind1.  If a measured word
+    is ever added to the lexicon this fails, flagging the contamination
+    the round-3 VERDICT called out on the dev set."""
     from efficientspeech_tpu.text.builtin_lexicon import get_builtin_lexicon
 
     blind = load_eval_lexicon(BLIND)
-    assert len(blind) >= 500
+    blind2 = load_eval_lexicon(BLIND2)
+    assert len(blind) >= 500 and len(blind2) >= 500
     dev = load_eval_lexicon(EVAL)
     lex = get_builtin_lexicon()
-    assert not set(blind) & set(dev), sorted(set(blind) & set(dev))[:10]
-    assert not set(blind) & set(lex), sorted(set(blind) & set(lex))[:10]
+    for name, s_ in (("blind1", set(blind)), ("blind2", set(blind2))):
+        assert not s_ & set(dev), (name, sorted(s_ & set(dev))[:10])
+        assert not s_ & set(lex), (name, sorted(s_ & set(lex))[:10])
+    assert not set(blind) & set(blind2), \
+        sorted(set(blind) & set(blind2))[:10]
 
 
 def test_front_door_blind_bound():
-    """BLIND-set generalization gates (measured once, 2026-08-19:
-    front door PER 8.86% / acc 70.6% stress-insensitive, PER 12.28% /
-    acc 64.8% stress-sensitive; enforced with small margin).  This is
-    the honest OOV number — every blind word exercises derivation /
-    compounds / rules, never a lexicon hit."""
+    """Blind-set-#1 gates.  NOTE: tuned-on from round-4 session 5 (its
+    error classes drove that rule batch) — these are OOV-path RETENTION
+    gates now, not generalization.  Post-tuning measured: PER 5.08% /
+    acc 80.7% stress-insensitive, 6.74% / 76.3% stress-sensitive."""
     blind = load_eval_lexicon(BLIND)
     per, acc, cases = phone_error_rate(G2p(), blind, ignore_stress=True)
-    assert per <= 0.10, f"blind PER regressed: {per:.3f}; {cases[:5]}"
-    assert acc >= 0.68, f"blind word accuracy regressed: {acc:.3f}"
+    assert per <= 0.065, f"blind1 PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.78, f"blind1 word accuracy regressed: {acc:.3f}"
     per_s, acc_s, _ = phone_error_rate(G2p(), blind, ignore_stress=False)
-    assert per_s <= 0.14, f"blind stress PER regressed: {per_s:.3f}"
-    assert acc_s >= 0.62, f"blind stress accuracy regressed: {acc_s:.3f}"
+    assert per_s <= 0.085, f"blind1 stress PER regressed: {per_s:.3f}"
+    assert acc_s >= 0.73, f"blind1 stress accuracy regressed: {acc_s:.3f}"
 
 
 def test_rule_g2p_blind_bound():
-    """Rules-only on the blind set: measured PER 10.62% / acc 64.4%."""
+    """Rules-only on blind set #1 (tuned-on): measured 72.3% / 7.66%."""
     blind = load_eval_lexicon(BLIND)
     per, acc, cases = phone_error_rate(rule_g2p, blind, ignore_stress=True)
-    assert per <= 0.12, f"blind rule PER regressed: {per:.3f}; {cases[:5]}"
-    assert acc >= 0.61, f"blind rule accuracy regressed: {acc:.3f}"
+    assert per <= 0.095, f"blind1 rule PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.69, f"blind1 rule accuracy regressed: {acc:.3f}"
+
+
+def test_front_door_blind2_bound():
+    """BLIND generalization gates on the current blind set (#2),
+    measured once 2026-08-19: front door PER 9.50% / acc 62.0%
+    stress-insensitive, PER 13.65% / acc 54.8% stress-sensitive;
+    enforced with small margin.  This is the honest OOV number — every
+    entry exercises derivation / compounds / rules, never a lexicon
+    hit, and none was ever tuned against."""
+    blind2 = load_eval_lexicon(BLIND2)
+    per, acc, cases = phone_error_rate(G2p(), blind2, ignore_stress=True)
+    assert per <= 0.105, f"blind2 PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.59, f"blind2 word accuracy regressed: {acc:.3f}"
+    per_s, acc_s, _ = phone_error_rate(G2p(), blind2, ignore_stress=False)
+    assert per_s <= 0.15, f"blind2 stress PER regressed: {per_s:.3f}"
+    assert acc_s >= 0.52, f"blind2 stress accuracy regressed: {acc_s:.3f}"
+
+
+def test_rule_g2p_blind2_bound():
+    """Rules-only on blind set #2: measured PER 9.85% / acc 60.6%."""
+    blind2 = load_eval_lexicon(BLIND2)
+    per, acc, cases = phone_error_rate(rule_g2p, blind2,
+                                       ignore_stress=True)
+    assert per <= 0.11, f"blind2 rule PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.57, f"blind2 rule accuracy regressed: {acc:.3f}"
 
 
 def test_rule_g2p_emits_valid_arpabet():
