@@ -76,7 +76,7 @@ def main():
                              "level measurement; end-to-end runs are "
                              "dominated by +-40%% relay load variance)")
     parser.add_argument("--transfer", default="adpcm4",
-                        choices=["f32", "int16", "mulaw", "adpcm4", "adpcm3"],
+                        choices=["f32", "int16", "mulaw", "adpcm4", "adpcm3", "adpcm2"],
                         help="device→host PCM wire format.  adpcm4 (4-bit "
                              "block-ADPCM, SNR >26 dB on speech — "
                              "telephony-grade) is the default because the "

@@ -36,7 +36,7 @@ def get_args():
     parser.add_argument("--speaker", type=int, default=None,
                         help="speaker id for multi-speaker checkpoints")
     parser.add_argument("--transfer", default="int16",
-                        choices=["f32", "int16", "mulaw", "adpcm4", "adpcm3"],
+                        choices=["f32", "int16", "mulaw", "adpcm4", "adpcm3", "adpcm2"],
                         help="device→host PCM wire format")
     parser.add_argument("--vocoder", default="folded",
                         choices=["folded", "folded_pallas", "chunked"])

@@ -14,7 +14,9 @@ the host:
 - ``"adpcm4"`` fixed-step block-ADPCM, 4.125 bits/sample (~40 dB SNR on
               speech — see audio/adpcm.py)
 - ``"adpcm3"`` 3-bit variant, 3.125 bits/sample (~35 dB on speech; still
-              above µ-law) — the smallest wire
+              above µ-law)
+- ``"adpcm2"`` 2-bit variant, 2.125 bits/sample (~27 dB on speech —
+              audibly gritty; opt-in for throughput-bound batch callers)
 
 The reference has no analogue (it synthesizes and consumes on one host);
 this is TPU-serving machinery.
@@ -56,6 +58,10 @@ def encode_device(wav, fmt: str):
         from efficientspeech_tpu.audio.adpcm import encode3_blocks_device
 
         return encode3_blocks_device(wav)
+    if fmt == "adpcm2":
+        from efficientspeech_tpu.audio.adpcm import encode2_blocks_device
+
+        return encode2_blocks_device(wav)
     raise ValueError(f"unknown transfer format {fmt!r}")
 
 
@@ -80,12 +86,16 @@ def decode_host(arr: np.ndarray, fmt: str) -> np.ndarray:
         from efficientspeech_tpu.audio.adpcm import decode3_blocks_host
 
         return decode3_blocks_host(arr)
+    if fmt == "adpcm2":
+        from efficientspeech_tpu.audio.adpcm import decode2_blocks_host
+
+        return decode2_blocks_host(arr)
     raise ValueError(f"unknown transfer format {fmt!r}")
 
 
 def bytes_per_sample(fmt: str) -> float:
     return {"f32": 4, "int16": 2, "mulaw": 1, "adpcm4": 0.516,
-            "adpcm3": 0.391}[fmt]
+            "adpcm3": 0.391, "adpcm2": 0.266}[fmt]
 
 
 def elements_for_samples(fmt: str, n_samples: int) -> int:
@@ -99,6 +109,10 @@ def elements_for_samples(fmt: str, n_samples: int) -> int:
         from efficientspeech_tpu.audio import adpcm
 
         return adpcm.elements3_for_samples(n_samples)
+    if fmt == "adpcm2":
+        from efficientspeech_tpu.audio import adpcm
+
+        return adpcm.elements2_for_samples(n_samples)
     return n_samples
 
 
@@ -111,4 +125,8 @@ def samples_for_elements(fmt: str, n_elements: int) -> int:
         from efficientspeech_tpu.audio import adpcm
 
         return adpcm.samples3_for_elements(n_elements)
+    if fmt == "adpcm2":
+        from efficientspeech_tpu.audio import adpcm
+
+        return adpcm.samples2_for_elements(n_elements)
     return n_elements

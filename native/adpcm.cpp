@@ -104,3 +104,38 @@ extern "C" void adpcm3_decode(const uint8_t* data, int n_blocks,
     }
   }
 }
+
+// 2-bit variant: sign + 1 magnitude bit, fixed step per 256-sample block.
+// 4 codes per byte; 68-byte blocks (4-byte header + 64 code bytes) ->
+// 256 float32 samples.  Mirrors adpcm.py's encode2/_decode2.
+extern "C" void adpcm2_decode(const uint8_t* data, int n_blocks,
+                              float* out) {
+  const int kBlock2 = 256;
+  const int kBlock2Bytes = kHeader + kBlock2 / 4;
+  const double scale = 1.0 / 32767.0;
+  for (int blk = 0; blk < n_blocks; ++blk) {
+    const uint8_t* p = data + (int64_t)blk * kBlock2Bytes;
+    int pred = (int16_t)(p[0] | (p[1] << 8));
+    int idx = clampi(p[2], 0, 88);
+    int step = kStep[idx];
+    int h = step >> 1;
+    int32_t delta[4];
+    for (int code = 0; code < 4; ++code) {
+      int vpdiff = h + ((code & 1) ? step : 0);
+      delta[code] = (code & 2) ? -vpdiff : vpdiff;
+    }
+    const uint8_t* bytes = p + kHeader;
+    float* o = out + (int64_t)blk * kBlock2;
+    o[0] = (float)(pred * scale);
+    // 4 codes (low bits first) per wire byte; sample t uses code t-1
+    // (the last code of the final byte is padding)
+    int t = 1;
+    for (int g = 0; g < kBlock2 / 4; ++g) {
+      int b = bytes[g];
+      for (int j = 0; j < 4 && t < kBlock2; ++j, ++t) {
+        pred = clampi(pred + delta[(b >> (2 * j)) & 3], -32768, 32767);
+        o[t] = (float)(pred * scale);
+      }
+    }
+  }
+}

@@ -435,7 +435,7 @@ def main():
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--transfer", default="int16",
-                        choices=["f32", "int16", "mulaw", "adpcm4", "adpcm3"],
+                        choices=["f32", "int16", "mulaw", "adpcm4", "adpcm3", "adpcm2"],
                         help="device→host wire format (mulaw halves the "
                              "dominant transfer on tunneled links)")
     parser.add_argument("--stream-segment-phonemes", type=int, default=128)

@@ -285,3 +285,58 @@ def test_adpcm3_blocks_decode_independently():
     k = 3 * adpcm.BLOCK3_BYTES
     prefix = decode_host(wire[:k], "adpcm3")
     np.testing.assert_array_equal(prefix, full[: 3 * adpcm.BLOCK3])
+
+
+def test_adpcm2_roundtrip_snr():
+    import jax
+
+    from efficientspeech_tpu.audio.adpcm import BLOCK2
+    from efficientspeech_tpu.audio.transfer import (
+        elements_for_samples, samples_for_elements)
+
+    n = 64 * BLOCK2
+    x = _speechlike(n)
+    wire = np.asarray(jax.jit(
+        lambda w: encode_device(w, "adpcm2"))(jnp.asarray(x[None])))
+    assert wire.shape == (1, elements_for_samples("adpcm2", n))
+    assert samples_for_elements("adpcm2", wire.shape[1]) == n
+    assert wire.shape[1] / n < 0.27  # 2.125 bits/sample
+    y = decode_host(wire[0], "adpcm2")
+    assert len(y) == n
+    snr = 10 * np.log10((x ** 2).sum() / ((x - y) ** 2).sum())
+    # 2.125 bits/sample measures ~27 dB on this signal — below mu-law,
+    # documented opt-in quality floor for the bandwidth-bound batch path
+    assert snr > 22.0, snr
+
+
+def test_adpcm2_c_decoder_matches_numpy():
+    import jax
+    import pytest
+
+    from efficientspeech_tpu.audio import adpcm
+
+    n = 8 * adpcm.BLOCK2
+    x = _speechlike(n, seed=3)
+    wire = np.asarray(jax.jit(
+        lambda w: encode_device(w, "adpcm2"))(jnp.asarray(x[None])))[0]
+    ref = adpcm._decode2_numpy(np.asarray(wire), n // adpcm.BLOCK2)
+    lib = adpcm._load_lib()
+    if lib is None or not hasattr(lib, "adpcm2_decode"):
+        pytest.skip("libesadpcm.so without adpcm2")
+    got = adpcm.decode2_blocks_host(wire)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_adpcm2_blocks_decode_independently():
+    import jax
+
+    from efficientspeech_tpu.audio import adpcm
+
+    n = 8 * adpcm.BLOCK2
+    x = _speechlike(n, seed=4)
+    wire = np.asarray(jax.jit(
+        lambda w: encode_device(w, "adpcm2"))(jnp.asarray(x[None])))[0]
+    full = decode_host(wire, "adpcm2")
+    k = 3 * adpcm.BLOCK2_BYTES
+    prefix = decode_host(wire[:k], "adpcm2")
+    np.testing.assert_array_equal(prefix, full[: 3 * adpcm.BLOCK2])
