@@ -1173,6 +1173,7 @@ def get_lexicon_and_g2p(preprocess_config) -> tuple:
                 return list(loanwords[wl])
             return tagalog_g2p(word)
 
+        t1_g2p.is_tagalog = True
         return lexicon, t1_g2p
     return lexicon, G2p()
 
@@ -1215,9 +1216,14 @@ def text2phoneme(lexicon: Dict[str, List[str]], g2p, text: str,
             # drops entirely).  Prefer the callable from
             # get_lexicon_and_g2p (loanwords -> rules); fall back to
             # the bare rules if the caller passed something else.
-            if callable(g2p):
+            if getattr(g2p, "is_tagalog", False):
+                # the t1 front door from get_lexicon_and_g2p
+                # (loanwords -> rules)
                 phones += g2p(wl) or list(wl)
             else:
+                # the caller passed something else (e.g. an English
+                # G2p) — never route Tagalog words through it; use the
+                # bare isip rules
                 from efficientspeech_tpu.text.tagalog_g2p import \
                     tagalog_g2p
 
