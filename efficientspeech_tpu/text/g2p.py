@@ -896,6 +896,19 @@ class G2p:
         "ation": ["EY1", "SH", "AH0", "N"],
         "ive": ["IH0", "V"],
     }
+    # prefix -> (phones, carries_primary_stress)
+    _DERIV_PREFIXES = {
+        "un": (["AH0", "N"], False), "re": (["R", "IY0"], False),
+        "dis": (["D", "IH0", "S"], False),
+        "mis": (["M", "IH0", "S"], False),
+        "pre": (["P", "R", "IY0"], False),
+        "non": (["N", "AA1", "N"], True),
+        "over": (["OW1", "V", "ER0"], True),
+        "under": (["AH1", "N", "D", "ER0"], True),
+        "out": (["AW1", "T"], True),
+        "semi": (["S", "EH1", "M", "IY0"], True),
+        "anti": (["AE1", "N", "T", "IY0"], True),
+    }
     _SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
 
     def _lookup_stem(self, stem: str):
@@ -941,6 +954,17 @@ class G2p:
             stem = self._lookup_stem(word[:-1])
             if stem:
                 return stem + ["IY0"]
+        # derivational prefixes on a known stem (unhappy, rebuild,
+        # dislike, overload); stressed prefixes (out-, over-, under-,
+        # non-) demote the stem to secondary like compound members
+        for prefix, (ph, stressed) in self._DERIV_PREFIXES.items():
+            if word.startswith(prefix) and len(word) - len(prefix) >= 3:
+                rest = word[len(prefix):]
+                stem = self._builtin.get(rest) or self._derived(rest)
+                if stem:
+                    stem = list(stem)
+                    return list(ph) + (_secondary(stem) if stressed
+                                       else stem)
         if word.endswith("ion") and len(word) - 3 >= 3:
             # -ion nominalization with the sibilant mutation
             # (possess+ion → /ʃ/, protect/invent+ion → /ʃ/,
