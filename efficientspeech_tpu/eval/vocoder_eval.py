@@ -34,11 +34,12 @@ import jax.numpy as jnp
 
 from efficientspeech_tpu.audio.stft import stft_magnitude
 from efficientspeech_tpu.config import AudioConfig
-from efficientspeech_tpu.training.vocoder import make_mel_fn
+from efficientspeech_tpu.training.vocoder import (
+    STFT_RESOLUTIONS, make_mel_fn)
 
-# (n_fft, hop, win) — the conventional multi-resolution STFT triple
-RESOLUTIONS: Tuple[Tuple[int, int, int], ...] = (
-    (512, 128, 512), (1024, 256, 1024), (2048, 512, 2048))
+# (n_fft, hop, win) — same triple the optional mr-STFT training loss
+# (training/vocoder.py multi_resolution_stft_loss) optimizes
+RESOLUTIONS: Tuple[Tuple[int, int, int], ...] = STFT_RESOLUTIONS
 
 
 def make_holdout_eval(gen, audio: AudioConfig):

@@ -29,6 +29,39 @@ from efficientspeech_tpu.models.hifigan_disc import (
     generator_loss,
 )
 
+# (n_fft, hop, win) — the conventional multi-resolution STFT triple
+# (Parallel WaveGAN recipe); eval/vocoder_eval.py scores the same set.
+STFT_RESOLUTIONS: Tuple[Tuple[int, int, int], ...] = (
+    (512, 128, 512), (1024, 256, 1024), (2048, 512, 2048))
+
+
+def multi_resolution_stft_loss(y_hat, y,
+                               resolutions=STFT_RESOLUTIONS):
+    """Spectral-convergence + log-magnitude L1 over the resolution set.
+
+    The standard auxiliary loss against GAN re-texturing: the LSGAN +
+    feature-matching + mel-L1 objective constrains the 80-band mel
+    projection but leaves fine STFT structure free for the
+    discriminators to bend (measured: LJ_FT fine-tuning improved
+    held-out mel-L1 38% while fine-band spectral convergence DEGRADED,
+    STATUS round-4 session 6).  This term pins the full-resolution
+    magnitudes directly.  Returns (loss, per-part dict).
+    """
+    sc_sum = 0.0
+    lm_sum = 0.0
+    for n_fft, hop, win in resolutions:
+        s_hat = stft_magnitude(y_hat, n_fft, hop, win)
+        s_ref = stft_magnitude(y, n_fft, hop, win)
+        num = jnp.sqrt(((s_ref - s_hat) ** 2).sum((1, 2)))
+        den = jnp.sqrt((s_ref ** 2).sum((1, 2)))
+        sc_sum = sc_sum + jnp.mean(num / jnp.maximum(den, 1e-8))
+        lm_sum = lm_sum + jnp.mean(jnp.abs(
+            jnp.log(jnp.clip(s_hat, min=1e-5))
+            - jnp.log(jnp.clip(s_ref, min=1e-5))))
+    n = len(resolutions)
+    loss = (sc_sum + lm_sum) / n
+    return loss, {"mr_sc": sc_sum / n, "mr_logmag": lm_sum / n}
+
 
 @flax.struct.dataclass
 class VocoderTrainState:
@@ -58,6 +91,7 @@ def create_vocoder_trainer(cfg: HifiGanConfig, audio: AudioConfig,
                            lr: float = 2e-4, b1: float = 0.8,
                            b2: float = 0.99, mel_weight: float = 45.0,
                            fm_weight: float = 2.0,
+                           mr_stft_weight: float = 0.0,
                            weight_decay: float = 0.01,
                            mesh=None):
     """weight_decay defaults to 0.01 = torch.optim.AdamW's default, which is
@@ -111,7 +145,12 @@ def create_vocoder_trainer(cfg: HifiGanConfig, audio: AudioConfig,
         adv_s, _ = generator_loss(s_g)
         fm = feature_loss(p_fr, p_fg) + feature_loss(s_fr, s_fg)
         total = adv_p + adv_s + fm_weight * fm + mel_weight * mel_l1
-        return total, {"mel_l1": mel_l1, "adv": adv_p + adv_s, "fm": fm}
+        aux = {"mel_l1": mel_l1, "adv": adv_p + adv_s, "fm": fm}
+        if mr_stft_weight > 0.0:  # static: traced only when enabled
+            mr, _ = multi_resolution_stft_loss(y_hat, wav)
+            total = total + mr_stft_weight * mr
+            aux["mr_stft"] = mr
+        return total, aux
 
     def train_step(state: VocoderTrainState, mel, wav
                    ) -> Tuple[VocoderTrainState, Dict]:

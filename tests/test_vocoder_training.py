@@ -37,6 +37,49 @@ def test_vocoder_adversarial_step():
     assert int(state.step) == 1
 
 
+def test_vocoder_mr_stft_aux_loss():
+    """mr_stft_weight adds the multi-resolution STFT term: the metric is
+    reported, the generator loss grows by exactly weight*mr_stft, and
+    the term pulls the STFT magnitudes toward the target (loss is lower
+    for a closer waveform)."""
+    from efficientspeech_tpu.training.vocoder import (
+        multi_resolution_stft_loss)
+
+    cfg = HifiGanConfig(upsample_initial_channel=16)
+    audio = AudioConfig()
+    gen, init, step0 = create_vocoder_trainer(cfg, audio)
+    _, _, step_mr = create_vocoder_trainer(cfg, audio, mr_stft_weight=2.5)
+
+    rng = jax.random.PRNGKey(0)
+    segment = 2048
+    mel = jnp.asarray(
+        np.random.default_rng(0).normal(-3, 2, (1, segment // 256, 80)),
+        jnp.float32)
+    wav = jnp.asarray(
+        np.random.default_rng(1).normal(0, 0.3, (1, segment)), jnp.float32)
+    gen_params = gen.init(rng, mel)["params"]
+
+    _, m0 = step0(init(rng, gen_params, segment=segment), mel, wav)
+    _, mm = step_mr(init(rng, gen_params, segment=segment), mel, wav)
+    m0, mm = jax.device_get((m0, mm))
+    assert "mr_stft" not in m0 and np.isfinite(mm["mr_stft"])
+    # both steps start from identical states, so the loss decomposes
+    np.testing.assert_allclose(
+        mm["gen_loss"], m0["gen_loss"] + 2.5 * mm["mr_stft"],
+        rtol=1e-5, atol=1e-5)
+
+    # the loss orders waveforms by spectral closeness
+    t = jnp.linspace(0, 1, segment)[None, :]
+    target = jnp.sin(2 * jnp.pi * 440 * t)
+    near = 0.9 * target
+    far = jnp.sin(2 * jnp.pi * 1763 * t)
+    l_near, parts = multi_resolution_stft_loss(near, target)
+    l_far, _ = multi_resolution_stft_loss(far, target)
+    assert float(l_near) < float(l_far)
+    assert np.isfinite(float(parts["mr_sc"]))
+    assert np.isfinite(float(parts["mr_logmag"]))
+
+
 def test_vocoder_adversarial_step_dp_mesh():
     """The adversarial step over a 4-way data mesh == single-device
     numerics (losses are mean-reduced; XLA inserts the gradient psums)."""
