@@ -87,7 +87,8 @@ _SUFFIX_MIN_STEM = {"ing": 3, "ly": 3, "ous": 3, "ness": 3, "ment": 2,
 
 _DIGRAPHS = [
     ("eigh", ["EY1"]), ("iew", ["Y", "UW1"]), ("olk", ["OW1", "K"]),
-    ("tch", ["CH"]), ("igh", ["AY1"]), ("dge", ["JH"]), ("alk", ["AO1", "K"]),
+    ("tch", ["CH"]), ("igh", ["AY1"]), ("alk", ["AO1", "K"]),
+    ("olt", ["OW1", "L", "T"]),
     ("ook", ["UH1", "K"]), ("ange", ["EY1", "N", "JH"]),
     ("air", ["EH1", "R"]),
     ("oar", ["AO1", "R"]),
@@ -200,6 +201,21 @@ def _reduce_posttonic(phones: List[str]) -> List[str]:
     return out
 
 
+def _restore_e(stem_word: str) -> str:
+    """The silent e dropped before a vowel-initial suffix, restored by
+    the doubling convention: a MONOSYLLABIC stem ending in one vowel
+    letter + one consonant had a silent e (quake+d, wade+ing, zone+ing);
+    a doubled consonant signals the short vowel (hopped, sitting), and
+    multi-group stems (visit+ed, rain+ed) never dropped one."""
+    if (len(stem_word) >= 3
+            and stem_word[-1] not in _VOWEL_LETTERS
+            and stem_word[-1] not in "wxy"
+            and stem_word[-2] in "aeiou"
+            and sum(ch in _VOWEL_LETTERS for ch in stem_word) == 1):
+        return stem_word + "e"
+    return ""
+
+
 def _rule_g2p(word: str) -> List[str]:
     word = word.lower()
     word = "".join(c for c in word if c.isalpha() or c == "'")
@@ -262,6 +278,13 @@ def _rule_g2p(word: str) -> List[str]:
                     # attracting suffix (gra-cious, oc-CA-sion): a
                     # trailing consonant+e forces the long evaluation
                     stem_word += "pe"
+            if stem is None and suffix == "ing":
+                # hope+ing vs hopp+ing: the undoubled single-vowel stem
+                # had a silent e the INFLECTION dropped; derivational
+                # suffixes must not restore (vac+ation is not vace+)
+                e_form = _restore_e(stem_word)
+                if e_form:
+                    stem = _rule_g2p(e_form)
             if stem is None:
                 stem = _rule_g2p(stem_word)
                 if stem_word.endswith("pe") and not word.endswith("pe") \
@@ -277,6 +300,12 @@ def _rule_g2p(word: str) -> List[str]:
                                  "AH0" if p == "AA1" else
                                  p[:-1] + "0" if p.endswith("1") else p)
                                 for i, p in enumerate(stem)]
+            if stem and ph and stem[-1].rstrip("012") == ph[0].rstrip("012") \
+                    and ph[0][-1:] not in "012":
+                # junction degemination: a stem-final consonant merges
+                # with an identical suffix-initial one (chill+ly,
+                # grateful+ly — English has no geminates)
+                stem = stem[:-1]
             if any(p.endswith("1") for p in ph):
                 # stress-bearing suffix (-ation, -ition, ...): the suffix
                 # carries primary stress, the stem demotes
@@ -316,9 +345,12 @@ def _rule_g2p(word: str) -> List[str]:
             return stem + ph
 
     # past-tense -ed: allomorph chosen by the stem's final phone (the
-    # stem must keep a vowel — shred/seaweed end in ROOT -ed)
-    if word.endswith("ed") and len(word) - 2 >= _SUFFIX_MIN_STEM["ed"]:
-        stem = _rule_g2p(word[:-2])
+    # stem must keep a vowel — shred/seaweed end in ROOT -ed, and an
+    # -eed tail is always the root's ee digraph: agreed, milkweed)
+    if word.endswith("ed") and not word.endswith("eed") \
+            and len(word) - 2 >= _SUFFIX_MIN_STEM["ed"]:
+        stem_word = word[:-2]
+        stem = _rule_g2p(_restore_e(stem_word) or stem_word)
         if stem and _has_vowel(stem):
             last = stem[-1]
             if last in ("T", "D"):
@@ -490,9 +522,14 @@ def _rule_g2p(word: str) -> List[str]:
         # r-digraphs (ar, or, ...) swallow one r and re-emit the other
         if c in "aeiou" and nxt == "r" and nxt2 == "r" \
                 and i + 3 < n and word[i + 3] in _VOWEL_LETTERS:
-            phones.extend({"a": ["AE1", "R"], "e": ["EH1", "R"],
-                           "i": ["IH1", "R"], "o": ["AA1", "R"],
-                           "u": ["ER1"]}[c])
+            if c == "a" and i > 0 and (word[i - 1] == "w"
+                                       or word[i - 1: i + 1] == "qu"):
+                # w/qu darken a+rr too (warrior, warrant, quarrel)
+                phones.extend(["AO1", "R"])
+            else:
+                phones.extend({"a": ["AE1", "R"], "e": ["EH1", "R"],
+                               "i": ["IH1", "R"], "o": ["AA1", "R"],
+                               "u": ["ER1"]}[c])
             i += 3
             continue
         # eu reads /juː/ after labials/velars and word-initially (feud,
@@ -509,6 +546,65 @@ def _rule_g2p(word: str) -> List[str]:
         if c == "x" and nxt == "c" and nxt2 in "eiy":
             phones.extend(["K", "S"])
             i += 2
+            continue
+        # sc before e/i/y is one /s/ (scene, scent, descend, scissors)
+        if c == "s" and nxt == "c" and nxt2 in "eiy":
+            phones.append("S")
+            i += 2
+            continue
+        # sch is the Greek /sk/ (school, scheme, schedule, scholar)
+        if c == "s" and nxt == "c" and nxt2 == "h":
+            phones.extend(["S", "K"])
+            i += 3
+            continue
+        # dj is one /dʒ/ (adjust, adjacent, adjective)
+        if c == "d" and nxt == "j":
+            i += 1
+            continue
+        # dg before e/i/y is /dʒ/ with the e still spoken when not final
+        # (edge, bridge vs budget, gadget, fidget)
+        if c == "d" and nxt == "g" and nxt2 in "eiy":
+            phones.append("JH")
+            i += 2
+            continue
+        # medial du+V palatalizes like tu (graduate, pendulum, educate);
+        # du+r keeps the stop (during, endure)
+        if c == "d" and nxt == "u" and i > 0 and nxt2 in "aeio":
+            phones.append("JH")
+            i += 1
+            continue
+        # ew reads /juː/ after labials/velars (few, pew), /uː/ after
+        # coronals and clusters (screw, chew, flew, new — GenAm yod-drop)
+        if c == "e" and nxt == "w" and i > 0:
+            if word[i - 1] in "fpbmkgvh":
+                phones.extend(["Y", "UW1"])
+            else:
+                phones.append("UW1")
+            i += 2
+            continue
+        # s+u+a is /sw/ when the s closes a prior syllable (persuade,
+        # suave, assuage) — vowel+su is the /ʒ/ rule below
+        if c == "s" and nxt == "u" and nxt2 == "a" \
+                and (i == 0 or word[i - 1] not in _VOWEL_LETTERS):
+            phones.extend(["S", "W"])
+            i += 2
+            continue
+        # gu+V: French silent u word-initially (guard, guest, guide);
+        # /gw/ after n (language, penguin, linguist, anguish)
+        if c == "g" and nxt == "u" and nxt2 in "aei":
+            if i == 0:
+                phones.append("G")
+                i += 2
+                continue
+            if word[i - 1] == "n":
+                phones.extend(["G", "W"])
+                i += 2
+                continue
+        # gir- keeps the hard g (girl, girth, gird) — soft-g would
+        # misread the ir digraph class
+        if c == "g" and nxt == "i" and nxt2 == "r":
+            phones.append("G")
+            i += 1
             continue
         # medial tur+V palatalizes (natural, century, saturate)
         if c == "t" and nxt == "u" and nxt2 == "r" and i + 3 < n \
@@ -589,10 +685,21 @@ def _rule_g2p(word: str) -> List[str]:
         # when they close the syllable (uncle yes; raincoat, concord no)
         velar_onset_vowel = (nxt in "cg" and nxt2
                              and nxt2 in _VOWEL_LETTERS)
+        # n+g+back-vowel is /ŋg/ within a morpheme (kangaroo, bingo,
+        # mango, anger) — but an en-/in-/un- prefix keeps plain /n/
+        # before its stem's g (engage, ungainly)
+        if c == "n" and nxt == "g" and nxt2 in "aou" \
+                and not (i == 1 and word[0] in "eiu"):
+            phones.append("NG")
+            i += 1
+            continue
         if c == "n" and nxt and not velar_onset_vowel \
                 and (nxt in "kgqx" or (nxt == "c" and nxt2 not in "eiyh")):
             if nxt == "g" and nxt2 in "eiy":
                 pass  # danger, angel: n + soft g, no velar
+            elif i == 1 and word[0] == "i" and nxt == "c" \
+                    and nxt2 in "lr" and n >= 6:
+                pass  # in- prefix before a c cluster: include, increase
             else:
                 phones.append("NG")
                 i += 1
@@ -641,10 +748,16 @@ def _rule_g2p(word: str) -> List[str]:
         matched = False
         for digraph, ph in _DIGRAPHS:
             if word.startswith(digraph, i):
-                # intervocalic th is voiced (mother, weather)
+                # intervocalic th is voiced ONLY in the Germanic -ther/
+                # -the/-thing families (mother, weather, breathe,
+                # bathing); Greek/Latin medial th stays voiceless
+                # (marathon, method, author, cathedral, catholic)
                 if digraph == "th" and 0 < i and i + 2 < n \
                         and word[i - 1] in _VOWEL_LETTERS \
-                        and word[i + 2] in _VOWEL_LETTERS:
+                        and word[i + 2] in _VOWEL_LETTERS \
+                        and (word[i + 2:].startswith("er")
+                             or word[i + 2:] in ("e", "es", "ed", "ing",
+                                                 "ings")):
                     ph = ["DH"]
                 # laxed "ea": head, bread, feather, death
                 if digraph == "ea" and (word.startswith("d", i + 2)
@@ -674,6 +787,12 @@ def _rule_g2p(word: str) -> List[str]:
                     and _has_vowel(phones):
                 phones.append("IY0")
                 break
+            # word-final unstressed -us is /əs/ with a voiceless s
+            # (walrus, bonus, virus, campus, census, focus)
+            if c == "u" and nxt == "s" and i + 2 == n \
+                    and _has_vowel(phones):
+                phones.extend(["AH0", "S"])
+                break
             # reduced FINAL closed syllable: V + single final consonant
             # with an earlier vowel already emitted (open, pilot, problem,
             # cabin, silent...) — schwa, not a full vowel
@@ -690,14 +809,32 @@ def _rule_g2p(word: str) -> List[str]:
             # long contexts: magic-e position, open syllable (exactly one
             # consonant then a vowel), a consonant + -le tail (table,
             # title), or word-final vowel (go, hi, mo-ment)
+            # a consonant digraph is ONE onset: the vowel before ph/th/
+            # ch/sh + vowel is open (typhoon, python, gopher, fathom)
+            digraph_onset = (nxt and word[i + 1: i + 3] in
+                             ("ph", "th", "ch", "sh")
+                             and i + 3 < n
+                             and word[i + 3] in _VOWEL_LETTERS)
             long_pos = (
                 (magic_e and i == n - 3)
-                or (nxt and nxt not in _VOWEL_LETTERS and nxt in _CONSONANTS
+                or (digraph_onset and c in "aeiouy"
+                    and not (i + 3 == n - 2 and word[i + 3] in "io"))
+                or (nxt and nxt not in _VOWEL_LETTERS
+                    and (nxt in _CONSONANTS
+                         # c was historically absent from the consonant
+                         # table (handled inline): vowels before it are
+                         # open too (local, bacon, vocal, cucumber) — but
+                         # not i, whose i-C-V words reduce (indicate)
+                         or (nxt == "c" and (c != "i" or i == 0)))
                     and nxt2 in _VOWEL_LETTERS and nxt2 != nxt
                     # the following vowel sits in a final REDUCED syllable
-                    # (cabin, wagon, dragon): trochee with a short head —
-                    # but u stays long/yod there (music, student)
-                    and not (c != "u" and nxt2 in "io" and i + 2 == n - 2)
+                    # (cabin, wagon, dragon; chapel, comet, closet —
+                    # the -el/-et trochees, NOT -en participles like
+                    # taken/broken): short head — but u stays long/yod
+                    # there (music, student)
+                    and not (c != "u" and i + 2 == n - 2
+                             and (nxt2 in "io"
+                                  or (nxt2 == "e" and word[-1] in "lt")))
                     # non-initial 'e' before C+V is usually lax (never,
                     # seven, lemon, general); long e survives via magic-e
                     # (scene) and word-initial position (even, evil)
@@ -965,7 +1102,10 @@ class G2p:
                     stem = list(stem)
                     return list(ph) + (_secondary(stem) if stressed
                                        else stem)
-        if word.endswith("ion") and len(word) - 3 >= 3:
+        if word.endswith("ion") and len(word) - 3 >= 4:
+            # stem >= 4: -ion is only a productive nominalizer on real
+            # polysyllabizable stems (possess, protect, quest); 3-letter
+            # lexicon hits are coincidence (not+ion is not "notion")
             # -ion nominalization with the sibilant mutation
             # (possess+ion → /ʃ/, protect/invent+ion → /ʃ/,
             # quest+ion → /tʃ/); D-stems shift the vowel too
