@@ -143,23 +143,52 @@ def _demote_stress(phones: List[str]) -> List[str]:
 
 
 def _pretonic(phones: List[str]) -> List[str]:
-    """Demote stress and centralize the low/back vowels (the syllables
-    before a stress-bearing Greek/Latin tail reduce: phot- in
-    photography is /fə/, mon- in monopoly /mə/); high/front vowels keep
-    their quality (ge- in geology stays /iː/), as does AA before R."""
-    out = []
-    for j, p in enumerate(phones):
-        if p[-1:] in "12":
-            base = p[:-1]
-            nxt_r = j + 1 < len(phones) and phones[j + 1] == "R"
-            if base in ("AA", "AE", "EY", "OW", "UW", "AH", "AO") \
-                    and not (base == "AA" and nxt_r):
-                out.append("AH0")
-            else:
-                out.append(base + "0")
+    """Demote + reduce the syllables before a stress-bearing tail.
+    English pretonic reduction is positional, not uniform:
+
+    - with 2+ pretonic syllables the FIRST keeps its quality under
+      secondary stress (DEmo+cratic, AFter+noon — alternating rhythm);
+    - a vowel in hiatus with the stressed syllable keeps its quality
+      (zo+ology, po+etic);
+    - a closed syllable keeps its quality (cap+tivity, nos+talgic) —
+      but a stop+liquid pair is the next syllable's onset cluster, not
+      a coda (demo+cratic reduces);
+    - otherwise the low/central vowels centralize to /ə/ (phot+ography,
+      dram+atic), word-initial e-/i- reduce to /ɪ/ (ecology, eviction),
+      and the high/back/r-colored nuclei keep quality with 0 stress
+      (ge+ology /iː/, bru+tality /uː/, car+toon, ro+botic, au+thentic).
+    """
+    vidx = [j for j, p in enumerate(phones) if p[-1:].isdigit()]
+    out = list(phones)
+    for k, j in enumerate(vidx):
+        base = phones[j][:-1]
+        nxt_v = vidx[k + 1] if k + 1 < len(vidx) else len(phones)
+        coda = phones[j + 1: nxt_v]
+        nxt_r = bool(coda) and coda[0] == "R"
+        if k == 0 and len(vidx) >= 2:
+            out[j] = base + "2"
+        elif not coda and k == len(vidx) - 1:
+            out[j] = base + "0"
+        elif len(coda) >= 2 and coda[-1] not in ("R", "L"):
+            out[j] = base + "0"
+        elif base in ("EH", "IY") and j == 0:
+            out[j] = "IH0"
+        elif base in ("AA", "AE", "EY", "AH", "EH") \
+                and not (base == "AA" and nxt_r):
+            out[j] = "AH0"
         else:
-            out.append(p)
+            out[j] = base + "0"
     return out
+
+
+def _stress_last(phones: List[str]) -> List[str]:
+    """Primary stress on the LAST stressed syllable, earlier syllables
+    pretonic-reduced — the shape a stress-attracting suffix leaves the
+    stem in (ad-HE-sive, ex-PAN-sion, ad-DIC-tion)."""
+    vs = [j for j, p in enumerate(phones) if p[-1:] in "12"]
+    if len(vs) < 2:
+        return phones
+    return _pretonic(phones[: vs[-1]]) + phones[vs[-1]:]
 
 
 def normalize_stress(phones: List[str]) -> List[str]:
@@ -196,8 +225,9 @@ def _reduce_posttonic(phones: List[str]) -> List[str]:
     if v1 + 1 < len(out) and out[v1 + 1] == "R":
         out[v1: v1 + 2] = ["ER0"]
     else:
-        out[v1] = "IH0" if out[v1][:2] in ("IY", "IH", "EH", "AY") \
-            else "AH0"
+        # the reduced medial vowel is the plain schwa (majesty, skeleton,
+        # luminous, oxygen — CMUdict AH0), not barred-i
+        out[v1] = "AH0"
     return out
 
 
@@ -237,6 +267,36 @@ def _rule_g2p(word: str) -> List[str]:
     if word.startswith("herb"):
         return ["ER1", "B"] + _demote_stress(
             _rule_g2p(word[4:]) if len(word) > 4 else [])
+
+    # specialized shun/zhun endings — must precede the generic sion/
+    # tion/sure table below, which would otherwise split them wrong
+    # -nsion keeps its n in the STEM syllable (pen-, ten-, expan-) and
+    # reads /ʃən/ (pension, tension, mansion, expansion)
+    if word.endswith("nsion") and len(word) >= 7:
+        stem = _rule_g2p(word[:-4])
+        if stem and _has_vowel(stem):
+            return _stress_last(stem) + ["SH", "AH0", "N"]
+    # -usion/-ution: the u is /uː/ after coronals and /juː/ elsewhere
+    # (inclusion, solution vs fusion, execution)
+    for u_suf, u_ph in (("usion", ["ZH", "AH0", "N"]),
+                        ("ution", ["SH", "AH0", "N"])):
+        if word.endswith(u_suf) and len(word) > len(u_suf):
+            u_stem = word[: -len(u_suf)]
+            if u_stem.startswith(("con", "com")) and len(u_stem) >= 4:
+                # a silent-e probe lets the con-/com- prefix rule see a
+                # long-enough word (conf+usion: /kən/, not closed /kɑn/)
+                head = _rule_g2p(u_stem + "e")
+            else:
+                head = _rule_g2p(u_stem)
+            if head:
+                nuc = ["UW1"] if u_stem[-1] in "lrjdtsn" \
+                    else ["Y", "UW1"]
+                return _pretonic(head) + nuc + u_ph
+    # -osure is /oʊʒɚ/ (closure, exposure, disclosure, composure)
+    if word.endswith("osure") and len(word) >= 7:
+        head = _rule_g2p(word[:-5])
+        if head:
+            return _pretonic(head) + ["OW1", "ZH", "ER0"]
 
     for suffix, ph in _SUFFIXES:
         min_stem = _SUFFIX_MIN_STEM.get(suffix, 1)
@@ -342,6 +402,11 @@ def _rule_g2p(word: str) -> List[str]:
                         continue
                     red.append(p)
                 stem = red
+            elif suffix in _STRESS_ATTRACTING:
+                # an UNSTRESSED shun-type suffix still attracts primary
+                # stress to the syllable right before it, reducing the
+                # earlier ones (ad-DIC-tion, col-LEC-tion, e-VIC-tion)
+                stem = _stress_last(stem)
             return stem + ph
 
     # past-tense -ed: allomorph chosen by the stem's final phone (the
@@ -422,6 +487,51 @@ def _rule_g2p(word: str) -> List[str]:
             if head and all(ch not in "aeiou" for ch in head[-1:]):
                 head_ph = _rule_g2p(head) if head else []
                 return head_ph + gue_ph
+
+    # -oon loans carry final stress (balloon, lagoon, typhoon, cartoon)
+    if word.endswith("oon") and len(word) >= 6:
+        head = _rule_g2p(word[:-3] + "o")  # probe keeps the syllable open
+        while head and head[-1][-1:] in "012":
+            head.pop()
+        if head and _has_vowel(head):
+            return _pretonic(head) + ["UW1", "N"]
+
+    # -ville/-ford place-name tails reduce (danville, hartford; afford
+    # is the verb)
+    if word.endswith("ville") and len(word) >= 8:
+        stem = _rule_g2p(word[:-5])
+        if stem and _has_vowel(stem):
+            return stem + ["V", "IH0", "L"]
+    if word.endswith("ford") and len(word) >= 6 and word != "afford":
+        stem = _rule_g2p(word[:-4])
+        if stem and _has_vowel(stem):
+            return stem + ["F", "ER0", "D"]
+
+    # plural/3sg -es after a sibilant is /ɪz/ (dashes, pouches, boxes)
+    if word.endswith("es") and len(word) >= 5 \
+            and (word[-4:-2] in ("sh", "ch", "ss") or word[-3] in "sxz"):
+        stem = _rule_g2p(word[:-2])
+        if stem and _has_vowel(stem) \
+                and stem[-1] in ("S", "Z", "SH", "ZH", "CH", "JH"):
+            return stem + ["IH0", "Z"]
+
+    # -ive: the suffix vowel is /ɪ/ and the pre-suffix vowel keeps its
+    # magic-e length (native, explosive, adhesive); -rive/-vive/-nive/
+    # -hive roots keep /aɪv/ (arrive, survive, connive, beehive)
+    if word.endswith("ative") and len(word) >= 8 \
+            and word[-6] not in _VOWEL_LETTERS:
+        # -ative stresses the antepenult (relative, negative, talkative)
+        stem = _rule_g2p(word[:-5])
+        if stem and _has_vowel(stem):
+            return stem + ["AH0", "T", "IH0", "V"]
+    if word.endswith("ive") and len(word) >= 6 \
+            and word[-4] not in _VOWEL_LETTERS \
+            and not word.endswith(("rive", "vive", "nive", "hive")):
+        stem = _rule_g2p(word[:-3] + "e")
+        if stem and _has_vowel(stem):
+            if word[-4] == "s" and stem[-1] == "Z":
+                stem[-1] = "S"  # -sive is voiceless (explosive, abusive)
+            return _stress_last(stem) + ["IH0", "V"]
 
     # -rtain/-ntain/-ptain nouns reduce the tail (curtain, fountain,
     # captain); maintain/obtain-class verbs are lexicon entries
