@@ -231,6 +231,17 @@ def _reduce_posttonic(phones: List[str]) -> List[str]:
     return out
 
 
+def _vowel_group_count(word: str) -> int:
+    n = 0
+    prev = False
+    for ch in word:
+        v = ch in _VOWEL_LETTERS
+        if v and not prev:
+            n += 1
+        prev = v
+    return n
+
+
 def _restore_e(stem_word: str) -> str:
     """The silent e dropped before a vowel-initial suffix, restored by
     the doubling convention: a MONOSYLLABIC stem ending in one vowel
@@ -381,8 +392,13 @@ def _rule_g2p(word: str) -> List[str]:
                     coda = stem_word[v + 1:]
                     if len(coda) == 1 or (len(coda) == 2
                                           and coda[0] == coda[1]):
+                        # o-stems re-open LONG (lo+cation, vo+cation,
+                        # do+nation) except the pro- prefix, which
+                        # reduces (prof+ession)
+                        o_re = "AH0" if stem_word.startswith("pro") \
+                            else "OW0"
                         stem = [("EY1" if p == "AE1" else
-                                 "AH0" if p == "AA1" else p)
+                                 o_re if p == "AA1" else p)
                                 for p in stem]
                 stem = _demote_stress(stem)
                 # a con-/com- prefix regains its full vowel under the
@@ -468,15 +484,6 @@ def _rule_g2p(word: str) -> List[str]:
             if stem and _has_vowel(stem):
                 return _pretonic(stem) + gk_ph
 
-    # -ity keeps the stem's stress and reduces (gravity, quantity);
-    # soft-c stems fold the /s/ into the suffix (velocity, capacity)
-    for ity_suf, ity_ph in (("city", ["S", "AH0", "T", "IY0"]),
-                            ("ity", ["AH0", "T", "IY0"])):
-        if word.endswith(ity_suf) and len(word) - len(ity_suf) >= 3:
-            stem = _rule_g2p(word[: -len(ity_suf)])
-            if stem and _has_vowel(stem):
-                return stem + ity_ph
-
     # word-final -gue: the ue is silent (plague, league, fatigue, vogue)
     for gue_suf, gue_ph in (("ague", ["EY1", "G"]),
                             ("eague", ["IY1", "G"]),
@@ -542,13 +549,16 @@ def _rule_g2p(word: str) -> List[str]:
         if stem and _has_vowel(stem):
             return stem + ["T", "AH0", "N"]
 
-    # -ic/-ics/-ical stress the syllable RIGHT BEFORE the suffix and lax
-    # its vowel (dramatic, kinetic, electric, terrific); the pretonic
-    # syllables reduce.  Long u resists the laxing (music, cubic).
+    # -ic/-ics/-ical/-ity stress the syllable RIGHT BEFORE the suffix
+    # and lax its vowel (dramatic, kinetic, electric, audacity,
+    # velocity); the pretonic syllables reduce.  Long u resists the
+    # laxing (music, cubic, immunity).
     for ic_suf, ic_ph in (("ically", ["IH0", "K", "L", "IY0"]),
                           ("ical", ["IH0", "K", "AH0", "L"]),
                           ("ics", ["IH0", "K", "S"]),
-                          ("ic", ["IH0", "K"])):
+                          ("ic", ["IH0", "K"]),
+                          ("ities", ["AH0", "T", "IY0", "Z"]),
+                          ("ity", ["AH0", "T", "IY0"])):
         if word.endswith(ic_suf) and len(word) - len(ic_suf) >= 3:
             base = word[: -len(ic_suf)]
             vs = [j for j, ch in enumerate(base) if ch in _VOWEL_LETTERS]
@@ -559,11 +569,32 @@ def _rule_g2p(word: str) -> List[str]:
             if base[v] == "u":
                 nucleus = ["Y", "UW1"] if not head \
                     or head[-1] not in "lrjdtsn" else ["UW1"]
+            elif base[v] == "a" and (head.endswith("qu")
+                                     or head.endswith("w")):
+                nucleus = ["AA1"]  # qua-/wa- darkening (aquatic)
+            elif not coda:
+                # nucleus in hiatus with the suffix stays long
+                # (heroic, stoic)
+                nucleus = [_LONG_VOWELS[base[v]]]
             else:
                 nucleus = [_SHORT_VOWELS[base[v]]]
             head_ph = []
             if head:
-                head_ph = _rule_g2p(head)
+                if head[-1] in "cg" and base[v] in "eiy":
+                    # the head-final consonant softens before the
+                    # nucleus (angelic /dʒ/, necessity /s/, magic)
+                    head_ph = _rule_g2p(head[:-1])
+                    soft = "S" if head[-1] == "c" else "JH"
+                    if not (soft == "S" and head_ph
+                            and head_ph[-1] == "S"):
+                        head_ph = head_ph + [soft]
+                else:
+                    # probe with the nucleus letter so the head's last
+                    # syllable sees its OPEN juncture (ti-tanic,
+                    # dy-namic), then strip the probe vowel
+                    head_ph = _rule_g2p(head + base[v])
+                    while head_ph and head_ph[-1][-1:] in "012":
+                        head_ph.pop()
                 if not head_ph:
                     break
                 head_ph = _pretonic(head_ph)
@@ -578,6 +609,84 @@ def _rule_g2p(word: str) -> List[str]:
                 while coda_ph and coda_ph[0][-1:] in "012":
                     coda_ph.pop(0)
             return head_ph + nucleus + coda_ph + ic_ph
+
+    # Romance-loan finals: a V-C(C)-o/-i tail stresses the penult with
+    # continental vowel quality (safari, bravado, tuxedo, mosquito,
+    # graffiti, flamingo, embargo); two-group -a words likewise
+    # (plaza, zebra, sofa, villa)
+    if word[-1] in "aoi" and len(word) >= 4 \
+            and word[-2] not in _VOWEL_LETTERS and word[-2] != word[-1]:
+        w = word[:-1]
+        spans = []
+        j = 0
+        while j < len(w):
+            if w[j] in _VOWEL_LETTERS \
+                    and not (w[j] == "u" and j > 0 and w[j - 1] == "q"):
+                k0 = j
+                while j < len(w) and w[j] in _VOWEL_LETTERS:
+                    j += 1
+                spans.append((k0, j))
+            else:
+                j += 1
+        if spans:
+            groups = len(spans) + 1
+            pen_s, pen_e = spans[-1]
+            pen = w[pen_s:pen_e]
+            mid = word[pen_e:-1]
+            opened = (len(mid) == 1
+                      or (len(mid) == 2 and mid[1] in "lr"
+                          and mid[0] != mid[1]))
+            ok = False
+            if len(pen) == 1 and pen in "aeiou" and 1 <= len(mid) <= 3:
+                if word[-1] == "i":
+                    ok = groups >= 3
+                elif word[-1] == "o":
+                    # English -o words with open penults stress the
+                    # antepenult (buffalo, dynamo); the -ado/-edo/-ito
+                    # and closed-penult loans stress the penult
+                    ok = groups >= 3 and (not opened or mid[0] in "dt")
+                else:
+                    # len >= 5 keeps this off the 4-letter head probes
+                    # the -ic machinery sends through (meta, dyna)
+                    ok = groups == 2 and len(mid) <= 2 and len(word) >= 5
+            if ok:
+                head = word[:pen_s]
+                head_ph: List[str] = []
+                if head:
+                    head_ph = _rule_g2p(head + pen)
+                    while head_ph and head_ph[-1][-1:] in "012":
+                        head_ph.pop()
+                    if head.endswith("qu") and head_ph \
+                            and head_ph[-1] == "W":
+                        head_ph.pop()  # Spanish qu is /k/ (mosquito)
+                if opened:
+                    nuc = [{"a": "AA1", "e": "IY1", "i": "IY1",
+                            "o": "OW1", "u": "UW1"}[pen]]
+                elif mid[0] == "r":
+                    nuc = {"a": ["AA1", "R"], "e": ["EH1", "R"],
+                           "o": ["AO1", "R"], "i": ["ER1"],
+                           "u": ["ER1"]}[pen]
+                    mid = mid[1:]
+                else:
+                    nuc = [{"a": "AE1", "e": "EH1", "i": "IH1",
+                            "o": "AA1", "u": "AH1"}[pen]]
+                mid_ph: List[str] = []
+                if mid == "ng":
+                    mid_ph = ["NG", "G"]
+                elif mid:
+                    if len(mid) == 2 and mid[0] == mid[1]:
+                        mid = mid[0]
+                    # probe tail y: outside this rule's own a/o/i
+                    # trigger set (no recursion), same c/g softening
+                    mid_ph = _rule_g2p("a" + mid + "y")
+                    while mid_ph and mid_ph[-1][-1:] in "012":
+                        mid_ph.pop()
+                    while mid_ph and mid_ph[0][-1:] in "012":
+                        mid_ph.pop(0)
+                fin = {"a": "AH0", "o": "OW0", "i": "IY0"}[word[-1]]
+                out = _pretonic(head_ph) + nuc + mid_ph + [fin]
+                if _has_vowel(out):
+                    return out
 
     # -geon/-cheon endings are /dʒən/ /tʃən/ (pigeon, surgeon, luncheon)
     if len(word) >= 6 and word.endswith("cheon"):
@@ -641,6 +750,18 @@ def _rule_g2p(word: str) -> List[str]:
                                "i": ["IH1", "R"], "o": ["AA1", "R"],
                                "u": ["ER1"]}[c])
             i += 3
+            continue
+        # single intervocalic r keeps a/e FRONT, not the ar/er digraphs:
+        # /ɛr/ in caravan, parish, charity, cherish, very, heritage;
+        # the e-r-i+V hiatus class is /ɪr/ (serious, period, material)
+        if c in "ae" and nxt == "r" and i > 0 \
+                and nxt2 in _VOWEL_LETTERS and nxt2 != "r":
+            if c == "e" and nxt2 == "i" and i + 3 < n \
+                    and word[i + 3] in _VOWEL_LETTERS:
+                phones.extend(["IH1", "R"])
+            else:
+                phones.extend(["EH1", "R"])
+            i += 2
             continue
         # eu reads /juː/ after labials/velars and word-initially (feud,
         # Europe), plain /uː/ elsewhere (neutral, deuce — GenAm yod-drops)
@@ -785,7 +906,9 @@ def _rule_g2p(word: str) -> List[str]:
         # lexicon entries
         if i == 0 and c in "bdr" and nxt == "e" and n >= 5 \
                 and nxt2 not in _VOWEL_LETTERS and nxt2 != c \
-                and word[3] in _VOWEL_LETTERS:
+                and word[3] in _VOWEL_LETTERS \
+                and not ((word[-1] == "y" or word.endswith("ar"))
+                         and _vowel_group_count(word) == 3):
             phones.extend([_CONSONANTS[c], "IH0"])
             i += 2
             continue
@@ -810,6 +933,15 @@ def _rule_g2p(word: str) -> List[str]:
             elif i == 1 and word[0] == "i" and nxt == "c" \
                     and nxt2 in "lr" and n >= 6:
                 pass  # in- prefix before a c cluster: include, increase
+            elif nxt == "g" and (i + 2 == n
+                                 or (nxt2 not in _VOWEL_LETTERS
+                                     and nxt2 not in "rl")):
+                # ng closing a syllable is bare /ŋ/ (kings+ley,
+                # strength); before r/l the g is the next onset
+                # (hungry, angle, single)
+                phones.append("NG")
+                i += 2
+                continue
             else:
                 phones.append("NG")
                 i += 1
@@ -839,7 +971,7 @@ def _rule_g2p(word: str) -> List[str]:
             i += 3
             continue
         # unstressed ex-/equ- prefix (explosion, expression, equipment)
-        if i == 0 and c == "e" and n >= 4 \
+        if i == 0 and c == "e" and n >= 3 \
                 and (nxt == "x" or word.startswith("equ")):
             phones.append("IH0")
             i += 1
@@ -930,6 +1062,7 @@ def _rule_g2p(word: str) -> List[str]:
                 or (digraph_onset and c in "aeiouy"
                     and not (i + 3 == n - 2 and word[i + 3] in "io"))
                 or (nxt and nxt not in _VOWEL_LETTERS
+                    and nxt != "x"
                     and (nxt in _CONSONANTS
                          # c was historically absent from the consonant
                          # table (handled inline): vowels before it are
@@ -956,6 +1089,20 @@ def _rule_g2p(word: str) -> List[str]:
                     and i + 4 == n)
                 or (i == n - 1 and n >= 2 and c in "iou")
             )
+            # trisyllabic laxing: the stressed antepenult of a 3+-
+            # syllable word is SHORT even in an open syllable (majesty,
+            # strategy, nominate, catalog, operation) — the -ery/-ary
+            # families and u (cucumber) resist
+            if long_pos and not _has_vowel(phones) and c in "aeio" \
+                    and not (magic_e and i == n - 3):
+                groups = _vowel_group_count(word)
+                if ((word.endswith(("y", "og", "al", "als", "ar",
+                                    "ars"))
+                     and not word.endswith("ry") and groups >= 3)
+                        or (word.endswith(("ate", "ates", "ated",
+                                           "ation"))
+                            and groups >= 4)):
+                    long_pos = False
             # medial ie reads /iː/ (grief, field, shield, piece); final
             # ie is /aɪ/ (die, tie), -ied/-ies keep the y-inflection
             # reading (tried, flies), and -iet/-ient are hiatus (quiet,
@@ -1125,6 +1272,7 @@ class G2p:
                            "nation", "ration", "cation", "ture", "tion",
                            "sion", "tious", "cious", "ion", "ions", "age",
                            "ive", "sure", "ture", "ure", "king", "kings",
+                           "city", "cities",
                            "ring", "rings"}
 
     # short words allowed as a compound's LEFT member (uphill, outdoors)
