@@ -500,6 +500,8 @@ def _rule_g2p(word: str) -> List[str]:
         head = _rule_g2p(word[:-3] + "o")  # probe keeps the syllable open
         while head and head[-1][-1:] in "012":
             head.pop()
+        if head and head[-1] == "Y":
+            head.pop()  # the probe vowel's yod
         if head and _has_vowel(head):
             return _pretonic(head) + ["UW1", "N"]
 
@@ -595,6 +597,8 @@ def _rule_g2p(word: str) -> List[str]:
                     head_ph = _rule_g2p(head + base[v])
                     while head_ph and head_ph[-1][-1:] in "012":
                         head_ph.pop()
+                    if head_ph and head_ph[-1] == "Y":
+                        head_ph.pop()  # the probe vowel's yod (mu-sic)
                 if not head_ph:
                     break
                 head_ph = _pretonic(head_ph)
@@ -656,6 +660,8 @@ def _rule_g2p(word: str) -> List[str]:
                     head_ph = _rule_g2p(head + pen)
                     while head_ph and head_ph[-1][-1:] in "012":
                         head_ph.pop()
+                    if head_ph and head_ph[-1] == "Y":
+                        head_ph.pop()  # the probe vowel's yod
                     if head.endswith("qu") and head_ph \
                             and head_ph[-1] == "W":
                         head_ph.pop()  # Spanish qu is /k/ (mosquito)
