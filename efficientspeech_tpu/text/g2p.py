@@ -46,6 +46,7 @@ def read_lexicon(lex_path: str) -> Dict[str, List[str]]:
 
 # suffixes replaced wholesale (stem recursion); longest match first
 _SUFFIXES = [
+    ("ention", ["EH1", "N", "SH", "AH0", "N"]),
     ("ission", ["IH1", "SH", "AH0", "N"]),
     ("ession", ["EH1", "SH", "AH0", "N"]),
     ("ition", ["IH1", "SH", "AH0", "N"]),
@@ -92,7 +93,7 @@ _DIGRAPHS = [
     ("ook", ["UH1", "K"]), ("ange", ["EY1", "N", "JH"]),
     ("air", ["EH1", "R"]),
     ("oar", ["AO1", "R"]),
-    ("cei", ["S", "IY1"]),
+    ("cei", ["S", "IY1"]), ("eiz", ["IY1", "Z"]),
     ("ch", ["CH"]), ("sh", ["SH"]), ("th", ["TH"]), ("ph", ["F"]),
     ("wh", ["W"]), ("ck", ["K"]), ("ng", ["NG"]), ("qu", ["K", "W"]),
     ("eer", ["IH1", "R"]),
@@ -173,7 +174,7 @@ def _pretonic(phones: List[str]) -> List[str]:
             out[j] = base + "0"
         elif base in ("EH", "IY") and j == 0:
             out[j] = "IH0"
-        elif base in ("AA", "AE", "EY", "AH", "EH") \
+        elif base in ("AA", "AE", "EY", "AH", "EH", "OW") \
                 and not (base == "AA" and nxt_r):
             out[j] = "AH0"
         else:
@@ -459,10 +460,18 @@ def _rule_g2p(word: str) -> List[str]:
                 return stem + ["ER0"]
 
     # unstressed word-final -age is /ɪdʒ/ in polysyllables (village,
-    # package, message); monosyllables (age, stage) keep /eɪdʒ/
+    # package, message); monosyllables (age, stage) keep /eɪdʒ/.  A
+    # single-vowel V-C stem re-opens (plu+mage, po+stage), and -eage
+    # keeps the stem's silent e (mileage)
+    if len(word) >= 7 and word.endswith("eage"):
+        stem = _rule_g2p(word[:-4] + "e")
+        if stem and _has_vowel(stem):
+            return stem + ["AH0", "JH"]
     if len(word) >= 6 and word.endswith("age") \
             and word[-4] not in _VOWEL_LETTERS:
-        stem = _rule_g2p(word[:-3])
+        stem_word = word[:-3]
+        e_form = _restore_e(stem_word)
+        stem = _rule_g2p(e_form or stem_word)
         if stem and _has_vowel(stem):
             return stem + ["AH0", "JH"]
 
@@ -580,6 +589,10 @@ def _rule_g2p(word: str) -> List[str]:
                 nucleus = [_LONG_VOWELS[base[v]]]
             else:
                 nucleus = [_SHORT_VOWELS[base[v]]]
+            if coda.startswith("r") and len(coda) >= 2 \
+                    and base[v] in "eiu":
+                nucleus = ["ER1"]  # al-LER-gic, not EH+R
+                coda = coda[1:]
             head_ph = []
             if head:
                 if head[-1] in "cg" and base[v] in "eiy":
@@ -590,6 +603,12 @@ def _rule_g2p(word: str) -> List[str]:
                     if not (soft == "S" and head_ph
                             and head_ph[-1] == "S"):
                         head_ph = head_ph + [soft]
+                elif head[-1] == "i" or (
+                        len(head) >= 2 and head[-1] not in _VOWEL_LETTERS
+                        and head[-2] == "i"):
+                    # pre-pretonic i is usually reduced, not open /aɪ/
+                    # (civility, rigidity, vicinity vs ti-tanic)
+                    head_ph = _rule_g2p(head)
                 else:
                     # probe with the nucleus letter so the head's last
                     # syllable sees its OPEN juncture (ti-tanic,
@@ -657,7 +676,8 @@ def _rule_g2p(word: str) -> List[str]:
                 head = word[:pen_s]
                 head_ph: List[str] = []
                 if head:
-                    head_ph = _rule_g2p(head + pen)
+                    head_ph = _rule_g2p(head + ("i" if pen == "e"
+                                                else pen))
                     while head_ph and head_ph[-1][-1:] in "012":
                         head_ph.pop()
                     if head_ph and head_ph[-1] == "Y":
@@ -682,9 +702,12 @@ def _rule_g2p(word: str) -> List[str]:
                 elif mid:
                     if len(mid) == 2 and mid[0] == mid[1]:
                         mid = mid[0]
-                    # probe tail y: outside this rule's own a/o/i
-                    # trigger set (no recursion), same c/g softening
-                    mid_ph = _rule_g2p("a" + mid + "y")
+                    # probe tails outside this rule's own trigger
+                    # set (no recursion): y softens c/g before final
+                    # i/e (da-vinci), the final-o/-a backness keeps
+                    # them hard via a u probe (embargo)
+                    mid_ph = _rule_g2p(
+                        "a" + mid + ("y" if word[-1] == "i" else "o"))
                     while mid_ph and mid_ph[-1][-1:] in "012":
                         mid_ph.pop()
                     while mid_ph and mid_ph[0][-1:] in "012":
@@ -693,6 +716,12 @@ def _rule_g2p(word: str) -> List[str]:
                 out = _pretonic(head_ph) + nuc + mid_ph + [fin]
                 if _has_vowel(out):
                     return out
+
+    # final -ock reduces in polysyllables (hammock, paddock, haddock)
+    if word.endswith("ock") and len(word) >= 6:
+        stem = _rule_g2p(word[:-3])
+        if stem and _has_vowel(stem):
+            return stem + ["AH0", "K"]
 
     # -geon/-cheon endings are /dʒən/ /tʃən/ (pigeon, surgeon, luncheon)
     if len(word) >= 6 and word.endswith("cheon"):
@@ -785,8 +814,13 @@ def _rule_g2p(word: str) -> List[str]:
             i += 2
             continue
         # sc before e/i/y is one /s/ (scene, scent, descend, scissors)
-        if c == "s" and nxt == "c" and nxt2 in "eiy":
+        if c == "s" and nxt == "c" and nxt2 and nxt2 in "eiy":
             phones.append("S")
+            i += 2
+            continue
+        # ch before r/l is the Greek /k/ (chrome, chronology, chlorine)
+        if c == "c" and nxt == "h" and nxt2 and nxt2 in "rl":
+            phones.append("K")
             i += 2
             continue
         # sch is the Greek /sk/ (school, scheme, schedule, scholar)
@@ -800,7 +834,7 @@ def _rule_g2p(word: str) -> List[str]:
             continue
         # dg before e/i/y is /dʒ/ with the e still spoken when not final
         # (edge, bridge vs budget, gadget, fidget)
-        if c == "d" and nxt == "g" and nxt2 in "eiy":
+        if c == "d" and nxt == "g" and nxt2 and nxt2 in "eiy":
             phones.append("JH")
             i += 2
             continue
@@ -828,7 +862,7 @@ def _rule_g2p(word: str) -> List[str]:
             continue
         # gu+V: French silent u word-initially (guard, guest, guide);
         # /gw/ after n (language, penguin, linguist, anguish)
-        if c == "g" and nxt == "u" and nxt2 in "aei":
+        if c == "g" and nxt == "u" and nxt2 and nxt2 in "aei":
             if i == 0:
                 phones.append("G")
                 i += 2
@@ -899,6 +933,17 @@ def _rule_g2p(word: str) -> List[str]:
             phones.append("AH0")
             i += 1
             continue
+        # ... and before a doubled consonant when a shun-suffix pulls
+        # the stress away (addiction, aggression, assumption) or a dj
+        # onset (adjust, adjacent) — accident/accurate keep initial
+        # stress
+        if c == "a" and i == 0 and n >= 5 \
+                and ((nxt == nxt2 and nxt in _CONSONANTS
+                      and word.endswith("ion"))
+                     or (nxt == "d" and nxt2 == "j")):
+            phones.append("AH0")
+            i += 1
+            continue
 
         # unstressed con-/com- prefix (confusion, connect, complete)
         if i == 0 and word.startswith(("con", "com")) and n >= 5 \
@@ -927,14 +972,14 @@ def _rule_g2p(word: str) -> List[str]:
         # n+g+back-vowel is /ŋg/ within a morpheme (kangaroo, bingo,
         # mango, anger) — but an en-/in-/un- prefix keeps plain /n/
         # before its stem's g (engage, ungainly)
-        if c == "n" and nxt == "g" and nxt2 in "aou" \
+        if c == "n" and nxt == "g" and nxt2 and nxt2 in "aou" \
                 and not (i == 1 and word[0] in "eiu"):
             phones.append("NG")
             i += 1
             continue
         if c == "n" and nxt and not velar_onset_vowel \
                 and (nxt in "kgqx" or (nxt == "c" and nxt2 not in "eiyh")):
-            if nxt == "g" and nxt2 in "eiy":
+            if nxt == "g" and nxt2 and nxt2 in "eiy":
                 pass  # danger, angel: n + soft g, no velar
             elif i == 1 and word[0] == "i" and nxt == "c" \
                     and nxt2 in "lr" and n >= 6:
@@ -975,6 +1020,14 @@ def _rule_g2p(word: str) -> List[str]:
                 and word[i + 3] not in _VOWEL_LETTERS:
             phones.append("ER1")
             i += 3
+            continue
+        # initial e- before one consonant in a silent-e frame is the
+        # reduced Latin prefix (evade, evolve, elope, emerge)
+        if c == "e" and i == 0 and nxt in _CONSONANTS \
+                and nxt2 in _VOWEL_LETTERS and silent_final_e \
+                and n >= 5 and _vowel_group_count(word) == 3:
+            phones.append("IH0")
+            i += 1
             continue
         # unstressed ex-/equ- prefix (explosion, expression, equipment)
         if i == 0 and c == "e" and n >= 3 \
@@ -1084,10 +1137,11 @@ def _rule_g2p(word: str) -> List[str]:
                     and not (c != "u" and i + 2 == n - 2
                              and (nxt2 in "io"
                                   or (nxt2 == "e" and word[-1] in "lt")))
-                    # non-initial 'e' before C+V is usually lax (never,
-                    # seven, lemon, general); long e survives via magic-e
-                    # (scene) and word-initial position (even, evil)
-                    and not (c == "e" and i > 0)
+                    # 'e' before C+V is usually lax (never, seven,
+                    # lemon, energy, elephant); long e survives via
+                    # magic-e (scene) and word-initially only before
+                    # v/g/q (even, evil, ego vs energy, enemy)
+                    and not (c == "e" and (i > 0 or nxt not in "vgq"))
                     # the syllable before an -ern tail is CLOSED
                     # (tavern, cavern, modern, govern)
                     and not word.endswith("ern", i + 2))
@@ -1128,6 +1182,15 @@ def _rule_g2p(word: str) -> List[str]:
                     phones.append("AY1" if i <= 2 else "IY0")
                 i += 1
                 continue
+            if c == "o" and not long_pos \
+                    and (word[i + 1: i + 3] in ("ss", "ft", "th")
+                         or (word[i + 1: i + 3] == "st"
+                             and (i == 0 or word[i - 1] not in "mphg"))):
+                # o darkens before voiceless clusters (frost, cost,
+                # cloth, froth, soft, loss) — most/post/host stay long
+                phones.append("AO1")
+                i += 1
+                continue
             table = _LONG_VOWELS if long_pos else _SHORT_VOWELS
             if c == "a" and i == n - 1 and _has_vowel(phones):
                 phones.append("AH0")
@@ -1164,7 +1227,8 @@ def _rule_g2p(word: str) -> List[str]:
             break
         elif c == "s" and i == n - 1 and len(word) > 1:
             prev = word[i - 1]
-            phones.append("Z" if prev in "bdgvlmnrw" or prev in _VOWEL_LETTERS else "S")
+            phones.append("Z" if prev in "bdgvlmrw"
+                          or prev in _VOWEL_LETTERS else "S")
         elif c == "s" and 0 < i and nxt and word[i - 1] in _VOWEL_LETTERS \
                 and nxt in _VOWEL_LETTERS \
                 and not (nxt == "e" and i + 2 == n and word[i - 1] == "a"):
@@ -1172,10 +1236,10 @@ def _rule_g2p(word: str) -> List[str]:
             # palatalizes (usual, casual, visual); final -ase stays
             # voiceless (base, case, erase — phrase is a lexicon word)
             phones.append("ZH" if nxt == "u" else "Z")
-        elif c == "s" and 0 < i and word[i - 1] == "m" \
+        elif c == "s" and 0 < i and word[i - 1] in "mw" \
                 and nxt in _VOWEL_LETTERS:
-            # s voices after m within a morpheme (crimson, clumsy,
-            # flimsy, damsel)
+            # s voices after m/w within a morpheme (crimson, clumsy,
+            # flimsy, damsel, drowsy)
             phones.append("Z")
         elif c in _CONSONANTS:
             phones.extend(_CONSONANTS[c].split())
@@ -1405,6 +1469,8 @@ class G2p:
                 continue
             right = None
             right_known = False
+            if b in ("let", "lets") and a not in self._PREFIX_WORDS:
+                continue  # book+let, ham+let: -let is a suffix here
             if b in self._builtin and b not in self._NOT_COMPOUND_TAILS:
                 right = list(self._builtin[b])
                 right_known = True
@@ -1433,7 +1499,7 @@ class G2p:
                             # (agri+culture), not a word-final tense /iː/
                             left[-1] = "IH0"
                         cand = left + _secondary(right)
-            elif left_known and len(a) >= 4 and len(b) >= 5 \
+            elif left_known and len(a) >= 4 and len(b) >= 4 \
                     and b[0] not in "aeiou" \
                     and b not in self._NOT_COMPOUND_TAILS:
                 # rule-spelled right member (snowflake, grasshopper);
