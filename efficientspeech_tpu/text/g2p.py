@@ -1317,6 +1317,16 @@ def is_initialism(token: str) -> bool:
             or t.lower() in _LETTER_READ)
 
 
+# consonant pairs that can START an English word — a rule-spelled
+# compound right member must begin with a real onset (trap, flake), not
+# a stranded coda cluster (cave+rnous is not a compound)
+_VALID_ONSETS = frozenset({
+    "bl", "br", "ch", "cl", "cr", "dr", "dw", "fl", "fr", "gl", "gn",
+    "gr", "kn", "ph", "pl", "pr", "ps", "qu", "rh", "sc", "sh", "sk",
+    "sl", "sm", "sn", "sp", "st", "sw", "th", "tr", "tw", "wh", "wr",
+})
+
+
 class G2p:
     """Callable matching the ``g2p_en.G2p`` protocol (word → phone list).
 
@@ -1501,6 +1511,7 @@ class G2p:
                         cand = left + _secondary(right)
             elif left_known and len(a) >= 4 and len(b) >= 4 \
                     and b[0] not in "aeiou" \
+                    and (b[1] in "aeiouy" or b[:2] in _VALID_ONSETS) \
                     and b not in self._NOT_COMPOUND_TAILS:
                 # rule-spelled right member (snowflake, grasshopper);
                 # consonant-initial only — vowel-initial tails are almost
