@@ -183,13 +183,18 @@ def _pretonic(phones: List[str]) -> List[str]:
 
 
 def _stress_last(phones: List[str]) -> List[str]:
-    """Primary stress on the LAST stressed syllable, earlier syllables
+    """Primary stress on the LAST syllable, earlier syllables
     pretonic-reduced — the shape a stress-attracting suffix leaves the
-    stem in (ad-HE-sive, ex-PAN-sion, ad-DIC-tion)."""
-    vs = [j for j, p in enumerate(phones) if p[-1:] in "12"]
+    stem in (ad-HE-sive, ex-PAN-sion, ad-DIC-tion).  The last vowel is
+    promoted even if the letterwise pass left it unstressed (the
+    ad-dic fragment reads as an -ic word)."""
+    vs = [j for j, p in enumerate(phones) if p[-1:].isdigit()]
     if len(vs) < 2:
         return phones
-    return _pretonic(phones[: vs[-1]]) + phones[vs[-1]:]
+    last = vs[-1]
+    return (_pretonic(phones[:last])
+            + [phones[last].rstrip("012") + "1"]
+            + phones[last + 1:])
 
 
 def normalize_stress(phones: List[str]) -> List[str]:
@@ -249,11 +254,14 @@ def _restore_e(stem_word: str) -> str:
     letter + one consonant had a silent e (quake+d, wade+ing, zone+ing);
     a doubled consonant signals the short vowel (hopped, sitting), and
     multi-group stems (visit+ed, rain+ed) never dropped one."""
+    nvow = sum(ch in _VOWEL_LETTERS
+               and not (ch == "u" and j > 0 and stem_word[j - 1] == "q")
+               for j, ch in enumerate(stem_word))
     if (len(stem_word) >= 3
             and stem_word[-1] not in _VOWEL_LETTERS
             and stem_word[-1] not in "wxy"
             and stem_word[-2] in "aeiou"
-            and sum(ch in _VOWEL_LETTERS for ch in stem_word) == 1):
+            and nvow == 1):  # the u of qu is not a syllable (quake+d)
         return stem_word + "e"
     return ""
 
@@ -1451,12 +1459,26 @@ class G2p:
             stem = self._lookup_stem(word[:-3])
             if stem:
                 last = stem[-1].rstrip("012")
+                tail = None
                 if last == "S":
-                    return stem[:-1] + ["SH", "AH0", "N"]
-                if last == "T":
+                    tail = ["SH", "AH0", "N"]
+                elif last == "T":
                     if len(stem) >= 2 and stem[-2].rstrip("012") == "S":
-                        return stem[:-1] + ["CH", "AH0", "N"]
-                    return stem[:-1] + ["SH", "AH0", "N"]
+                        tail = ["CH", "AH0", "N"]
+                    else:
+                        tail = ["SH", "AH0", "N"]
+                if tail is not None:
+                    # -ion attaches to the VERB's final stress, not the
+                    # lexicon noun's (ADdict → adDICtion): promote the
+                    # last stem vowel, reduce the earlier ones
+                    head = stem[:-1]
+                    vs = [j for j, p in enumerate(head)
+                          if p[-1:].isdigit()]
+                    if vs:
+                        head = (_pretonic(head[: vs[-1]])
+                                + [head[vs[-1]].rstrip("012") + "1"]
+                                + head[vs[-1] + 1:])
+                    return head + tail
         return []
 
     def _compound(self, word: str) -> List[str]:
