@@ -87,6 +87,12 @@ CONVENTIONS: Dict[str, object] = {
     "ation_ey": True,        # -ation reads English /ey/ (17:5)
     "ou_aw": True,           # ou reads /aw/ (26:0)
     "ee_i": True,            # ee -> i ("committee")
+    # round-4 session-8 candidates, mined on the train split by
+    # scripts/tagalog_split_eval.py (vote counts in its output):
+    "coda_r_er": False,      # bare coda r is r-colored (artist, barkada)
+    "cluster_r_er": False,   # C+r+V epenthesizes er (atrium, alfred)
+    "o_u_closed_final": False,  # closed final-syllable o -> u (alon)
+    "e_i_early": False,      # e with 2+ later syllables raises (dekada)
     "silent_e_after": _SILENT_E_AFTER,
 }
 # "-ation" loans read the English /ey/ (17:5 in the lexicon:
@@ -194,6 +200,43 @@ def _part_g2p(w: str, conv: Dict[str, object] = CONVENTIONS) -> List[str]:
         out.append(p)
         i += 1
     phones = out
+    # r-coloring of bare r (the orthographic-er rule above only sees the
+    # letter e): coda r after a vowel (artist -> q a er t i s) and the
+    # epenthetic er inside C+r+V onset clusters (atrium -> q a t er i u m)
+    if conv.get("coda_r_er") or conv.get("cluster_r_er"):
+        out = []
+        for i, p in enumerate(phones):
+            prv = out[-1] if out else ""
+            nxt = phones[i + 1] if i + 1 < len(phones) else ""
+            if p == "r":
+                if conv.get("coda_r_er") and (prv in VOWELS
+                                              or prv in DIPHTHONGS) \
+                        and (not nxt or (nxt not in VOWELS
+                                         and nxt not in DIPHTHONGS)):
+                    out.append("er")
+                    continue
+                if conv.get("cluster_r_er") and prv \
+                        and prv not in VOWELS and prv not in DIPHTHONGS \
+                        and prv != "er" and nxt in VOWELS:
+                    out.append("er")
+                    continue
+            out.append(p)
+        phones = out
+    # closed final-syllable o raises to u (alon -> a l u n, alikabok)
+    if conv.get("o_u_closed_final"):
+        vidx = [i for i, p in enumerate(phones)
+                if p in VOWELS or p in DIPHTHONGS or p == "er"]
+        if vidx and phones[vidx[-1]] == "o" \
+                and vidx[-1] < len(phones) - 1:
+            phones[vidx[-1]] = "u"
+    # early e raises to i when 2+ syllables follow (dekada -> dikada,
+    # december -> disember — Tagalog-assimilated loans raise e)
+    if conv.get("e_i_early"):
+        vidx = [i for i, p in enumerate(phones)
+                if p in VOWELS or p in DIPHTHONGS or p == "er"]
+        for k, i in enumerate(vidx):
+            if phones[i] == "e" and len(vidx) - 1 - k >= 2:
+                phones[i] = "i"
     # vowel hiatus -> glottal stop ("doon" -> d o q o n)
     if conv["glottal_hiatus"]:
         out = []

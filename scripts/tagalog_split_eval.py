@@ -82,6 +82,10 @@ _AB = {
     "ation_ey": ([True, False], lambda w: "ation" in w),
     "ou_aw": ([True, False], lambda w: "ou" in w),
     "ee_i": ([True, False], lambda w: "ee" in w),
+    "coda_r_er": ([False, True], lambda w: "r" in w),
+    "cluster_r_er": ([False, True], lambda w: "r" in w),
+    "o_u_closed_final": ([False, True], lambda w: "o" in w),
+    "e_i_early": ([False, True], lambda w: "e" in w),
 }
 
 
