@@ -113,6 +113,16 @@ class Synthesizer:
         self.warm_only = False
         self._warm_shapes = set()
         self._jit_objs = {}
+        # long-running servers accumulate a compiled program per distinct
+        # (bucket, frames) cold shape (the session-7 soak measured ~2.8 GB
+        # of program-cache growth over 12 min of mixed traffic).  When
+        # ``max_programs`` is set, the least-recently-used UNPINNED fused
+        # program is evicted past the cap; ``pin_programs()`` protects the
+        # startup ladder (warm_only routing needs its covering shapes)
+        self.max_programs = None
+        self._pinned_programs = set()
+        self._program_seq = 0
+        self._program_used = {}
         # per-dispatch fetch watchdog: None = block forever (library
         # default); the serving layer sets a deadline (seconds) so a
         # wedged relay round raises SynthesisTimeout instead of hanging
@@ -158,6 +168,8 @@ class Synthesizer:
         if out_frames is None:
             out_frames = bucket * self.mel_expansion
         key = ("fused", self.vocoder_mode, self.transfer, bucket, out_frames)
+        self._program_seq += 1
+        self._program_used[key] = self._program_seq
         fn = self._jitted.get(key)
         if fn is None:
             import dataclasses
@@ -278,7 +290,44 @@ class Synthesizer:
                 return out
 
             self._jitted[key] = fn = call
+            self._evict_programs()
         return fn
+
+    def pin_programs(self):
+        """Mark every currently-compiled fused program as pinned: the
+        eviction policy (``max_programs``) never drops them.  The serving
+        layer calls this after the startup precompile ladder so warm_only
+        routing always has its covering shapes."""
+        self._pinned_programs |= {k for k in self._jitted
+                                  if k[0] == "fused"}
+
+    def _evict_programs(self):
+        """Drop least-recently-used unpinned fused programs past
+        ``max_programs`` (and un-warm their shapes so routing stops
+        targeting them).  The jit object's executable cache is cleared
+        explicitly — dropping the Python reference alone would leave the
+        compiled program alive in JAX's internal caches."""
+        if not self.max_programs:
+            return
+        while True:
+            fused = [k for k in self._jitted if k[0] == "fused"]
+            if len(fused) <= self.max_programs:
+                return
+            victims = [k for k in fused if k not in self._pinned_programs]
+            if not victims:
+                return
+            v = min(victims, key=lambda k: self._program_used.get(k, 0))
+            self._jitted.pop(v, None)
+            self._program_used.pop(v, None)
+            jitfn = self._jit_objs.pop(v, None)
+            if jitfn is not None and hasattr(jitfn, "clear_cache"):
+                try:
+                    jitfn.clear_cache()
+                except Exception:
+                    pass
+            b, f = v[-2], v[-1]
+            self._warm_shapes = {s for s in self._warm_shapes
+                                 if not (s[1] == b and s[2] == f)}
 
     def _pcm_chunked(self, out_frames: int) -> bool:
         """Single source of truth for whether a fused program returns

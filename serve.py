@@ -461,6 +461,13 @@ def main():
                              "requests get the exact program (default on)")
     parser.add_argument("--no-bg-compile", dest="bg_compile",
                         action="store_false")
+    parser.add_argument("--max-programs", type=int, default=64,
+                        help="cap on live compiled serving programs: past "
+                             "it the least-recently-used background-"
+                             "compiled shape is evicted (the startup "
+                             "ladder is pinned).  Bounds the program-"
+                             "cache RSS growth the 12-min soak measured "
+                             "(~2.8 GB); 0 = unbounded")
     parser.add_argument("--fetch-timeout", type=float, default=30.0,
                         help="per-dispatch watchdog (seconds): a device "
                              "fetch exceeding this returns 503 + "
@@ -518,6 +525,8 @@ def main():
     shapes = synth.precompile(buckets=buckets, batch_sizes=batch_sizes)
     print(f"warm shapes ({time.time() - t0:.1f}s): {shapes}")
     synth.warm_only = True
+    synth.pin_programs()  # the ladder stays; only bg-compiled shapes evict
+    synth.max_programs = args.max_programs or None
     if args.bg_compile:
         # exact-shape compiles happen OFF the serving path (lower+compile,
         # no execution — populates the persistent compile cache); once

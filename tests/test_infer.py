@@ -234,3 +234,33 @@ def test_cost_analysis_reports_flops(synth):
     # more frames => more vocoder work
     cost2 = synth.cost_analysis(16, frames * 2)
     assert cost2["flops"] > cost["flops"]
+
+
+def test_program_eviction_bound(synth):
+    """max_programs evicts the least-recently-used UNPINNED fused
+    program (and un-warms its shapes); pinned ladder programs survive."""
+    synth.tts("warm me up")  # ensure at least one program exists
+    try:
+        synth.pin_programs()
+        pinned = {k for k in synth._jitted if k[0] == "fused"}
+        synth.max_programs = len(pinned) + 1
+        # two extra shapes at frame levels no other test compiles ->
+        # the second insert must evict the first (LRU, unpinned)
+        fa, fb = 72, 168
+        key_a = ("fused", synth.vocoder_mode, synth.transfer, 16, fa)
+        key_b = ("fused", synth.vocoder_mode, synth.transfer, 16, fb)
+        assert key_a not in synth._jitted and key_b not in synth._jitted
+        a = synth._get_fused(16, fa)
+        b = synth._get_fused(16, fb)
+        fused = [k for k in synth._jitted if k[0] == "fused"]
+        assert len(fused) == len(pinned) + 1
+        assert pinned <= set(fused)          # ladder survives
+        assert key_a not in synth._jitted    # LRU victim
+        assert key_b in synth._jitted
+        assert not any(s[1] == 16 and s[2] == fa
+                       for s in synth._warm_shapes)
+        # the evicted shape recompiles transparently on demand
+        assert synth._get_fused(16, fa) is not a
+    finally:
+        synth.max_programs = None
+        synth._pinned_programs = set()
