@@ -5,7 +5,9 @@ fallback (synthesize.py:19-64); ours is builtin-lexicon + morphological
 derivation + compound split + rule L2S (text/g2p.py, text/
 builtin_lexicon.py).
 
-TWO measurement sets, with different meanings (round-4 methodology fix):
+FOUR measurement sets, with different meanings (round-4 methodology —
+each blind set is burned the moment its error classes drive tuning,
+and the next one is authored fresh):
 
 - tests/data/g2p_dev.tsv (630 entries) — the DEVELOPMENT set.  Rules and
   lexicon additions were tuned against it through round 3 (49.7% of its
