@@ -197,6 +197,11 @@ def main():
                         help="folded_pallas (TPU default) or folded "
                              "(pure-XLA — lets the soak harness smoke "
                              "on CPU)")
+    parser.add_argument("--max-programs", type=int, default=0,
+                        help="cap live compiled programs (LRU eviction "
+                             "past it, precompiled ladder pinned) — "
+                             "exercises serve.py's --max-programs RSS "
+                             "bound under soak traffic; 0 = unbounded")
     parser.add_argument("--max-batch", type=int, default=0,
                         help="cap the batcher / precompile ladder "
                              "(default max(32, --clients); CPU smoke "
@@ -236,6 +241,9 @@ def main():
         # serving mode: cold shapes route to the next-larger warm program
         # instead of compiling inline (Synthesizer._route_warm)
         synth.warm_only = True
+    if args.max_programs:
+        synth.pin_programs()  # the ladder above stays resident
+        synth.max_programs = args.max_programs
 
     lock = threading.Lock()
     handler = make_handler(synth, lock=lock, dynamic_batch=True,

@@ -314,7 +314,10 @@ class Synthesizer:
             if len(fused) <= self.max_programs:
                 return
             victims = [k for k in fused if k not in self._pinned_programs]
-            if not victims:
+            if len(victims) <= 1:
+                # never evict the just-created program (its caller holds
+                # a reference and aot_compile looks it up next) — with a
+                # cap below the pinned count the newest simply stays
                 return
             v = min(victims, key=lambda k: self._program_used.get(k, 0))
             self._jitted.pop(v, None)
