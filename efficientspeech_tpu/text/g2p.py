@@ -88,12 +88,13 @@ _SUFFIX_MIN_STEM = {"ing": 3, "ly": 3, "ous": 3, "ness": 3, "ment": 2,
 
 _DIGRAPHS = [
     ("eigh", ["EY1"]), ("iew", ["Y", "UW1"]), ("olk", ["OW1", "K"]),
-    ("tch", ["CH"]), ("igh", ["AY1"]), ("alk", ["AO1", "K"]),
+    ("tch", ["CH"]), ("cch", ["K"]), ("igh", ["AY1"]), ("alk", ["AO1", "K"]),
     ("olt", ["OW1", "L", "T"]),
     ("ook", ["UH1", "K"]), ("ange", ["EY1", "N", "JH"]),
     ("air", ["EH1", "R"]),
     ("oar", ["AO1", "R"]),
     ("cei", ["S", "IY1"]), ("eiz", ["IY1", "Z"]),
+    ("eism", ["AY1", "Z", "M"]),
     ("ch", ["CH"]), ("sh", ["SH"]), ("th", ["TH"]), ("ph", ["F"]),
     ("wh", ["W"]), ("ck", ["K"]), ("ng", ["NG"]), ("qu", ["K", "W"]),
     ("eer", ["IH1", "R"]),
@@ -175,11 +176,17 @@ def _pretonic(phones: List[str]) -> List[str]:
         elif base in ("EH", "IY") and j == 0:
             out[j] = "IH0"
         elif base in ("AA", "AE", "EY", "AH", "EH", "OW") \
+                and len(coda) == 1 and coda[0] == "R":
+            # the r is the NEXT syllable's onset: the pretonic vowel
+            # folds into /ɚ/ (go+rilla, mo+rose, to+rero, pa+rade)
+            out[j] = "ER0"
+            out[j + 1] = ""
+        elif base in ("AA", "AE", "EY", "AH", "EH", "OW") \
                 and not (base == "AA" and nxt_r):
             out[j] = "AH0"
         else:
             out[j] = base + "0"
-    return out
+    return [p for p in out if p]
 
 
 def _stress_last(phones: List[str]) -> List[str]:
@@ -254,6 +261,8 @@ def _restore_e(stem_word: str) -> str:
     letter + one consonant had a silent e (quake+d, wade+ing, zone+ing);
     a doubled consonant signals the short vowel (hopped, sitting), and
     multi-group stems (visit+ed, rain+ed) never dropped one."""
+    if stem_word.endswith("dg"):
+        return stem_word + "e"  # dg never ends a word (trudge, judge)
     nvow = sum(ch in _VOWEL_LETTERS
                and not (ch == "u" and j > 0 and stem_word[j - 1] == "q")
                for j, ch in enumerate(stem_word))
@@ -274,6 +283,9 @@ def _rule_g2p(word: str) -> List[str]:
 
     # the closed set of silent-h stems (hour/honor are lexicon entries;
     # this catches their derivatives and the honest/heir families)
+    if word.startswith("rh"):
+        # Greek rh- is plain /r/ (rhythm, rhyme, rhetoric, rhubarb)
+        return _rule_g2p("r" + word[2:])
     if word.startswith("heir"):
         rest = _rule_g2p(word[4:]) if len(word) > 4 else []
         return ["EH1", "R"] + _demote_stress(rest)
@@ -510,6 +522,10 @@ def _rule_g2p(word: str) -> List[str]:
             head = word[: -len(gue_suf)]
             if head and all(ch not in "aeiou" for ch in head[-1:]):
                 head_ph = _rule_g2p(head) if head else []
+                if gue_suf == "ogue" and _has_vowel(head_ph):
+                    # polysyllabic -ogue darkens (epilogue, catalogue,
+                    # dialogue); monosyllables keep /oʊg/ (vogue)
+                    gue_ph = ["AO2", "G"]
                 return head_ph + gue_ph
 
     # -oon loans carry final stress (balloon, lagoon, typhoon, cartoon)
@@ -558,6 +574,108 @@ def _rule_g2p(word: str) -> List[str]:
             if word[-4] == "s" and stem[-1] == "Z":
                 stem[-1] = "S"  # -sive is voiceless (explosive, abusive)
             return _stress_last(stem) + ["IH0", "V"]
+
+    # French learned endings carry final stress: -ique /iːk/
+    # (boutique, critique, antique), -esque /ɛsk/ (grotesque,
+    # picturesque), -ette /ɛt/ (cassette, brunette), -angue /æŋ/
+    # (meringue, harangue), final -eau /oʊ/ (plateau, chateau); a bare
+    # final -que is /k/ (mosque, plaque, torque)
+    if word.endswith("ique") and len(word) >= 6:
+        head = _rule_g2p(word[:-4])
+        if head and _has_vowel(head):
+            return _pretonic(head) + ["IY1", "K"]
+    if word.endswith("esque") and len(word) >= 7:
+        head = _rule_g2p(word[:-5])
+        if head and _has_vowel(head):
+            return _pretonic(head) + ["EH1", "S", "K"]
+    if word.endswith("que") and len(word) >= 5:
+        return _rule_g2p(word[:-3] + "k")
+    for ette_suf, ette_ph in (("ettes", ["EH1", "T", "S"]),
+                              ("ette", ["EH1", "T"])):
+        if word.endswith(ette_suf) and len(word) - len(ette_suf) >= 2:
+            head = _rule_g2p(word[: -len(ette_suf)])
+            if head and _has_vowel(head):
+                return _pretonic(head) + ette_ph
+    if word.endswith("angue") and len(word) >= 7:
+        head = _rule_g2p(word[:-5])
+        if head and _has_vowel(head):
+            return _pretonic(head) + ["AE1", "NG"]
+    if word.endswith("eau") and len(word) >= 5:
+        head = _rule_g2p(word[:-3])
+        if head and _has_vowel(head):
+            return _demote_stress(head) + ["OW1"]
+
+    # -elle carries final stress (gazelle, noelle)
+    if word.endswith("elle") and len(word) >= 6:
+        head = _rule_g2p(word[:-4])
+        if head and _has_vowel(head):
+            return _pretonic(head) + ["EH1", "L"]
+
+    # -ish verbs lax the pre-suffix vowel (banish, vanish, abolish,
+    # polish) — doubling the final stem consonant closes the syllable
+    if word.endswith("ish") and len(word) >= 6 \
+            and word[-4] not in _VOWEL_LETTERS and word[-4] != "r":
+        # r-stems keep the intervocalic-r reading (cherish, parish)
+        ish_stem = word[:-3]
+        if ish_stem[-2] in "aeiou":
+            ish_stem += ish_stem[-1]
+        stem = _rule_g2p(ish_stem)
+        if stem and _has_vowel(stem):
+            return stem + ["IH0", "SH"]
+
+    # -oise nouns reduce (porpoise, tortoise)
+    if word.endswith("oise") and len(word) >= 7:
+        stem = _rule_g2p(word[:-4])
+        if stem and _has_vowel(stem):
+            return stem + ["AH0", "S"]
+
+    # 3+-group -ier loans carry final /ɪr/ stress (brigadier,
+    # cavalier, financier); 2-group comparatives (easier) stay out
+    if word.endswith("ier") and _vowel_group_count(word) >= 3 \
+            and word[-4] not in _VOWEL_LETTERS:
+        head = _rule_g2p(word[:-3])
+        if head and _has_vowel(head):
+            return _pretonic(head) + ["IH1", "R"]
+
+    # -ose adjectives carry final /oʊs/ stress (morose, verbose,
+    # grandiose); the -pose verb family (suppose, propose) voices and
+    # is excluded by the p-guard
+    if word.endswith("ose") and len(word) >= 6 \
+            and word[-4] not in _VOWEL_LETTERS and word[-4] != "p":
+        head = _rule_g2p(word[:-3])
+        if head and _has_vowel(head):
+            return _pretonic(head) + ["OW1", "S"]
+
+    # -acean/-cean read /ʃən/ with the a long (ocean, crustacean)
+    if word.endswith("acean") and len(word) >= 7:
+        head = _rule_g2p(word[:-5])
+        if head and _has_vowel(head):
+            return _demote_stress(head) + ["EY1", "SH", "AH0", "N"]
+    if word.endswith("cean") and len(word) >= 5:
+        head = _rule_g2p(word[:-4])
+        if head:
+            return head + ["SH", "AH0", "N"]
+
+    # a -le verb's past keeps the stem's syllabic l (jostled, smelled)
+    if word.endswith("led") and len(word) >= 5 \
+            and word[-4] not in _VOWEL_LETTERS:
+        stem = _rule_g2p(word[:-1])
+        if stem and _has_vowel(stem):
+            return stem + ["D"]
+
+    # agentive -ator is the -ate verb + /ɚ/, stress pattern included
+    # (percolator, excavator, radiator, curator, senator)
+    if word.endswith("ator") and len(word) >= 7:
+        stem = _rule_g2p(word[:-2] + "e")
+        if stem and _has_vowel(stem):
+            return stem + ["ER0"]
+
+    # unstressed Latinate -ice in 3+-syllable words is /ɪs/
+    # (apprentice, prejudice, avarice, edifice, armistice)
+    if word.endswith("ice") and _vowel_group_count(word) >= 4:
+        stem = _rule_g2p(word[:-3])
+        if stem and _has_vowel(stem):
+            return stem + ["IH0", "S"]
 
     # -rtain/-ntain/-ptain nouns reduce the tail (curtain, fountain,
     # captain); maintain/obtain-class verbs are lexicon entries
@@ -678,8 +796,16 @@ def _rule_g2p(word: str) -> List[str]:
                     ok = groups >= 3 and (not opened or mid[0] in "dt")
                 else:
                     # len >= 5 keeps this off the 4-letter head probes
-                    # the -ic machinery sends through (meta, dyna)
-                    ok = groups == 2 and len(mid) <= 2 and len(word) >= 5
+                    # the -ic machinery sends through (meta, dyna);
+                    # 3+-group a-finals stress the penult too (cabana,
+                    # vanilla, pagoda) — e/u-penults keep antepenult
+                    # stress (camera, formula) unless doubled (umbrella)
+                    ok = (groups == 2 and len(mid) <= 2
+                          and len(word) >= 5) \
+                        or (groups >= 3 and len(mid) <= 2
+                            and (pen in "aoi"
+                                 or (pen == "e" and len(mid) == 2
+                                     and mid[0] == mid[1])))
             if ok:
                 head = word[:pen_s]
                 head_ph: List[str] = []
@@ -696,6 +822,8 @@ def _rule_g2p(word: str) -> List[str]:
                 if opened:
                     nuc = [{"a": "AA1", "e": "IY1", "i": "IY1",
                             "o": "OW1", "u": "UW1"}[pen]]
+                    if pen == "a" and word[-1] == "a" and groups >= 3:
+                        nuc = ["AE1"]  # banana, cabana, montana
                 elif mid[0] == "r":
                     nuc = {"a": ["AA1", "R"], "e": ["EH1", "R"],
                            "o": ["AO1", "R"], "i": ["ER1"],
@@ -741,9 +869,15 @@ def _rule_g2p(word: str) -> List[str]:
         if stem and _has_vowel(stem):
             return stem + ["JH", "AH0", "N"]
 
-    # -rious after a vowel is /riəs/ (glorious, furious, curious)
+    # -rious after a vowel is /riəs/ (furious, curious); o-stems pull
+    # the stress onto /ɔr/ (victorious, laborious, glorious)
     if len(word) >= 7 and word.endswith("rious"):
-        stem = _rule_g2p(word[:-5])
+        stem_word = word[:-5]
+        if stem_word.endswith("o"):
+            head = _rule_g2p(stem_word[:-1])
+            return (_pretonic(head) if head else []) \
+                + ["AO1", "R", "IY0", "AH0", "S"]
+        stem = _rule_g2p(stem_word)
         if stem and _has_vowel(stem):
             return stem + ["R", "IY0", "AH0", "S"]
 
@@ -947,7 +1081,7 @@ def _rule_g2p(word: str) -> List[str]:
         # stress
         if c == "a" and i == 0 and n >= 5 \
                 and ((nxt == nxt2 and nxt in _CONSONANTS
-                      and word.endswith("ion"))
+                      and word.endswith(("ion", "ment")))
                      or (nxt == "d" and nxt2 == "j")):
             phones.append("AH0")
             i += 1
@@ -967,7 +1101,9 @@ def _rule_g2p(word: str) -> List[str]:
                 and nxt2 not in _VOWEL_LETTERS and nxt2 != c \
                 and word[3] in _VOWEL_LETTERS \
                 and not ((word[-1] == "y" or word.endswith("ar"))
-                         and _vowel_group_count(word) == 3):
+                         and _vowel_group_count(word) == 3) \
+                and not (word.endswith(("ate", "ates", "ated"))
+                         and _vowel_group_count(word) >= 4):
             phones.extend([_CONSONANTS[c], "IH0"])
             i += 2
             continue
@@ -989,9 +1125,10 @@ def _rule_g2p(word: str) -> List[str]:
                 and (nxt in "kgqx" or (nxt == "c" and nxt2 not in "eiyh")):
             if nxt == "g" and nxt2 and nxt2 in "eiy":
                 pass  # danger, angel: n + soft g, no velar
-            elif i == 1 and word[0] == "i" and nxt == "c" \
+            elif i == 1 and word[0] in "ie" and nxt == "c" \
                     and nxt2 in "lr" and n >= 6:
-                pass  # in- prefix before a c cluster: include, increase
+                pass  # in-/en- prefix before a c cluster: include,
+                # increase, enclosure
             elif nxt == "g" and (i + 2 == n
                                  or (nxt2 not in _VOWEL_LETTERS
                                      and nxt2 not in "rl")):
@@ -1039,7 +1176,9 @@ def _rule_g2p(word: str) -> List[str]:
             continue
         # unstressed ex-/equ- prefix (explosion, expression, equipment)
         if i == 0 and c == "e" and n >= 3 \
-                and (nxt == "x" or word.startswith("equ")):
+                and (nxt == "x" or word.startswith("equ")) \
+                and not (word.endswith(("ate", "ates", "ated"))
+                         and _vowel_group_count(word) >= 4):
             phones.append("IH0")
             i += 1
             continue
@@ -1149,7 +1288,11 @@ def _rule_g2p(word: str) -> List[str]:
                     # lemon, energy, elephant); long e survives via
                     # magic-e (scene) and word-initially only before
                     # v/g/q (even, evil, ego vs energy, enemy)
-                    and not (c == "e" and (i > 0 or nxt not in "vgq"))
+                    and not (c == "e" and (i > 0 or nxt not in "vgq")
+                             # ... except before a C+i hiatus (devious,
+                             # tedious, medium, previous)
+                             and not (nxt2 == "i" and i + 3 < n
+                                      and word[i + 3] in "aeou"))
                     # the syllable before an -ern tail is CLOSED
                     # (tavern, cavern, modern, govern)
                     and not word.endswith("ern", i + 2))
@@ -1378,6 +1521,8 @@ class G2p:
         "able": ["AH0", "B", "AH0", "L"],
         "ation": ["EY1", "SH", "AH0", "N"],
         "ive": ["IH0", "V"],
+        "age": ["AH0", "JH"],
+        "ish": ["IH0", "SH"],
     }
     # prefix -> (phones, carries_primary_stress)
     _DERIV_PREFIXES = {
@@ -1501,8 +1646,9 @@ class G2p:
                 continue
             right = None
             right_known = False
-            if b in ("let", "lets") and a not in self._PREFIX_WORDS:
-                continue  # book+let, ham+let: -let is a suffix here
+            if b in ("let", "lets", "rage", "rages") \
+                    and a not in self._PREFIX_WORDS:
+                continue  # book+let, broke+rage: suffix, not compound
             if b in self._builtin and b not in self._NOT_COMPOUND_TAILS:
                 right = list(self._builtin[b])
                 right_known = True
@@ -1521,7 +1667,11 @@ class G2p:
             if right is not None:
                 if left_known:
                     cand = list(self._builtin[a]) + _secondary(right)
-                elif len(a) >= 4 and len(b) >= 4:
+                elif len(a) >= 4 and len(b) >= 4 \
+                        and b[0] not in "aeiou":
+                    # a rule-spelled LEFT member needs a consonant-
+                    # initial right: vowel-initial known tails are
+                    # almost always inflection fragments (walr+uses)
                     left = rule_g2p(a)
                     if left:
                         if a.endswith("i") and left[-1] in ("IY0", "IY1",
