@@ -31,24 +31,25 @@ and the next one is authored fresh):
   Post-tuning: front door 80.51% / PER 4.53% (stress-sensitive 75.44%
   / 6.24%), rules-only 78.75% / 5.04%.
 
-- tests/data/g2p_blind3.tsv (890 entries) — the CURRENT blind
-  generalization set, authored fresh AFTER the session-8 rule batches
-  froze, mechanically filtered to be disjoint from the lexicon, the
-  dev set, AND blind sets #1/#2, and measured ONCE (2026-08-19).
-  These are the honest OOV numbers.  Blind3 samples deliberately
-  harder territory than blind2 (French -ique/-esque/-ette endings,
-  -ator agentives, flora/fauna and food loanwords, place names):
-    front door  PER 0.1261 / word accuracy 0.5135 (stress-insensitive)
-                PER 0.1560 / word accuracy 0.4753 (stress-SENSITIVE)
-    rules alone PER 0.1305 / word accuracy 0.4944 (stress-insensitive)
+- tests/data/g2p_blind3.tsv (890 entries) — authored fresh after the
+  session-8 batches froze and measured once at 51.35% / PER 12.61%
+  (harder vocabulary by construction: French -ique/-esque/-ette,
+  -ator agentives, loanword flora/fauna/foods).  Its error classes
+  then drove the session's French/agentive batches, so it too is a
+  TUNED-ON retention set now.  Post-tuning: 57.19% / PER 10.40%.
+
+- tests/data/g2p_blind4.tsv (592 entries) — the CURRENT blind
+  generalization set, authored fresh AFTER the French/agentive
+  batches froze, mechanically filtered disjoint from the lexicon, the
+  dev set, AND blind sets #1/#2/#3, and measured ONCE (2026-08-19).
+  These are the honest OOV numbers.  Blind4 samples hard learned
+  derivations (-ery/-ory/-ary/-try), French nominals, and compounds:
+    front door  PER 0.1337 / word accuracy 0.5051 (stress-insensitive)
+                PER 0.1655 / word accuracy 0.4324 (stress-SENSITIVE)
+    rules alone PER 0.1533 / word accuracy 0.4443 (stress-insensitive)
   Failures on THIS set MUST NOT be fixed by adding its words to the
   lexicon or tuning rules against them; doing so requires authoring
-  blind set #4 and re-measuring.  ONE exception already applied: the
-  blind3 error report exposed a compound-splitter BUG (invalid-onset
-  right members: cave+"rnous"); the onset-validity fix is a code
-  repair, not phonology tuning, but per protocol blind3 counts as
-  lightly tuned-on from that commit (post-fix retention 51.57% /
-  12.49%) and any future fresh generalization claim needs blind set #4.
+  blind set #5 and re-measuring.
 """
 
 import os
@@ -65,6 +66,7 @@ EVAL = os.path.join(os.path.dirname(__file__), "data", "g2p_dev.tsv")
 BLIND = os.path.join(os.path.dirname(__file__), "data", "g2p_blind.tsv")
 BLIND2 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind2.tsv")
 BLIND3 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind3.tsv")
+BLIND4 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind4.tsv")
 
 
 def test_edit_distance():
@@ -114,20 +116,20 @@ def test_blind_set_is_disjoint():
     blind = load_eval_lexicon(BLIND)
     blind2 = load_eval_lexicon(BLIND2)
     blind3 = load_eval_lexicon(BLIND3)
+    blind4 = load_eval_lexicon(BLIND4)
     assert len(blind) >= 500 and len(blind2) >= 500 \
-        and len(blind3) >= 500
+        and len(blind3) >= 500 and len(blind4) >= 500
     dev = load_eval_lexicon(EVAL)
     lex = get_builtin_lexicon()
-    for name, s_ in (("blind1", set(blind)), ("blind2", set(blind2)),
-                     ("blind3", set(blind3))):
+    sets = [("blind1", set(blind)), ("blind2", set(blind2)),
+            ("blind3", set(blind3)), ("blind4", set(blind4))]
+    for name, s_ in sets:
         assert not s_ & set(dev), (name, sorted(s_ & set(dev))[:10])
         assert not s_ & set(lex), (name, sorted(s_ & set(lex))[:10])
-    assert not set(blind) & set(blind2), \
-        sorted(set(blind) & set(blind2))[:10]
-    assert not set(blind3) & set(blind), \
-        sorted(set(blind3) & set(blind))[:10]
-    assert not set(blind3) & set(blind2), \
-        sorted(set(blind3) & set(blind2))[:10]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = sets[i][1] & sets[j][1]
+            assert not inter, (sets[i][0], sets[j][0], sorted(inter)[:10])
 
 
 def test_front_door_blind_bound():
@@ -179,31 +181,40 @@ def test_rule_g2p_blind2_bound():
 
 
 def test_front_door_blind3_bound():
-    """BLIND generalization gates on the current blind set (#3),
-    measured once 2026-08-19: front door PER 12.61% / acc 51.35%
-    stress-insensitive, PER 15.60% / acc 47.53% stress-sensitive;
-    enforced with small margin.  This is the honest OOV number — every
-    entry exercises derivation / compounds / rules, never a lexicon
-    hit, and none was ever tuned against.  Blind3 deliberately samples
-    harder vocabulary than blind2 (French endings, -ator agentives,
-    loanword flora/fauna/foods), so its absolute level is not
-    comparable to blind2's fresh measurement."""
+    """Blind-set-#3 gates.  NOTE: tuned-on from the session-8 French/
+    agentive batches — OOV-path RETENTION gates now.  Post-tuning:
+    PER 10.40% / acc 57.19% stress-insensitive."""
     blind3 = load_eval_lexicon(BLIND3)
     per, acc, cases = phone_error_rate(G2p(), blind3, ignore_stress=True)
-    assert per <= 0.14, f"blind3 PER regressed: {per:.3f}; {cases[:5]}"
-    assert acc >= 0.48, f"blind3 word accuracy regressed: {acc:.3f}"
-    per_s, acc_s, _ = phone_error_rate(G2p(), blind3, ignore_stress=False)
-    assert per_s <= 0.17, f"blind3 stress PER regressed: {per_s:.3f}"
-    assert acc_s >= 0.44, f"blind3 stress accuracy regressed: {acc_s:.3f}"
+    assert per <= 0.115, f"blind3 PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.55, f"blind3 word accuracy regressed: {acc:.3f}"
 
 
-def test_rule_g2p_blind3_bound():
-    """Rules-only on blind set #3: measured PER 13.05% / acc 49.44%."""
-    blind3 = load_eval_lexicon(BLIND3)
-    per, acc, cases = phone_error_rate(rule_g2p, blind3,
+def test_front_door_blind4_bound():
+    """BLIND generalization gates on the current blind set (#4),
+    measured once 2026-08-19: front door PER 13.37% / acc 50.51%
+    stress-insensitive, PER 16.55% / acc 43.24% stress-sensitive;
+    enforced with small margin.  This is the honest OOV number — every
+    entry exercises derivation / compounds / rules, never a lexicon
+    hit, and none was ever tuned against.  Blind4 samples hard learned
+    derivations (-ery/-ory/-ary/-try), French nominals, and compounds,
+    so its absolute level is not comparable across sets."""
+    blind4 = load_eval_lexicon(BLIND4)
+    per, acc, cases = phone_error_rate(G2p(), blind4, ignore_stress=True)
+    assert per <= 0.148, f"blind4 PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.47, f"blind4 word accuracy regressed: {acc:.3f}"
+    per_s, acc_s, _ = phone_error_rate(G2p(), blind4, ignore_stress=False)
+    assert per_s <= 0.18, f"blind4 stress PER regressed: {per_s:.3f}"
+    assert acc_s >= 0.40, f"blind4 stress accuracy regressed: {acc_s:.3f}"
+
+
+def test_rule_g2p_blind4_bound():
+    """Rules-only on blind set #4: measured PER 15.33% / acc 44.43%."""
+    blind4 = load_eval_lexicon(BLIND4)
+    per, acc, cases = phone_error_rate(rule_g2p, blind4,
                                        ignore_stress=True)
-    assert per <= 0.145, f"blind3 rule PER regressed: {per:.3f}; {cases[:5]}"
-    assert acc >= 0.46, f"blind3 rule accuracy regressed: {acc:.3f}"
+    assert per <= 0.168, f"blind4 rule PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.42, f"blind4 rule accuracy regressed: {acc:.3f}"
 
 
 def test_rule_g2p_emits_valid_arpabet():
