@@ -336,7 +336,14 @@ def _rule_g2p(word: str) -> List[str]:
             stem_word = word[: -len(suffix)]
             nvow = sum(ch in _VOWEL_LETTERS for ch in stem_word)
             stem = None
-            if stem_word.endswith("i") and nvow >= 2:
+            if stem_word.endswith("i") and nvow >= 2 \
+                    and suffix == "ness":
+                # the i IS an inflected y and keeps its tense vowel
+                # (happiness, drowsiness)
+                stem = _rule_g2p(stem_word)
+                if stem and stem[-1] in ("IH0", "IY1", "AY1"):
+                    stem[-1] = "IY0"
+            elif stem_word.endswith("i") and nvow >= 2:
                 # pre-suffix i in a polysyllabic stem is LAX (musician,
                 # ambitious, furniture) — not the word-final tense /iː/;
                 # evaluate the whole stem (keeps mu-si open-syllable
@@ -504,6 +511,8 @@ def _rule_g2p(word: str) -> List[str]:
             ("ometer", ["AA1", "M", "AH0", "T", "ER0"]),
             ("opoly", ["AA1", "P", "AH0", "L", "IY0"]),
             ("onomy", ["AA1", "N", "AH0", "M", "IY0"]),
+            ("otomy", ["AA1", "T", "AH0", "M", "IY0"]),
+            ("atomy", ["AE1", "T", "AH0", "M", "IY0"]),
             ("osophy", ["AA1", "S", "AH0", "F", "IY0"]),
             ("ocracy", ["AA1", "K", "R", "AH0", "S", "IY0"]),
             ("ality", ["AE1", "L", "AH0", "T", "IY0"]),
@@ -1334,7 +1343,10 @@ def _rule_g2p(word: str) -> List[str]:
                 i += 1
                 continue
             if c == "o" and not long_pos \
-                    and (word[i + 1: i + 3] in ("ss", "ft", "th")
+                    and ((word[i + 1: i + 3] in ("ft", "th"))
+                         or (word[i + 1: i + 3] == "ss"
+                             and (i + 3 >= n
+                                  or word[i + 3] not in _VOWEL_LETTERS))
                          or (word[i + 1: i + 3] == "st"
                              and (i == 0 or word[i - 1] not in "mphg"))):
                 # o darkens before voiceless clusters (frost, cost,
@@ -1523,6 +1535,7 @@ class G2p:
         "ive": ["IH0", "V"],
         "age": ["AH0", "JH"],
         "ish": ["IH0", "SH"],
+        "fully": ["F", "AH0", "L", "IY0"],
     }
     # prefix -> (phones, carries_primary_stress)
     _DERIV_PREFIXES = {
@@ -1684,7 +1697,13 @@ class G2p:
             elif left_known and len(a) >= 4 and len(b) >= 4 \
                     and b[0] not in "aeiou" \
                     and (b[1] in "aeiouy" or b[:2] in _VALID_ONSETS) \
+                    and (len(b) >= 5 or b[-1] not in "aeiouy"
+                         or (b[-1] == "e"
+                             and b[-2] not in _VOWEL_LETTERS)) \
                     and b not in self._NOT_COMPOUND_TAILS:
+                # short rights must look like words — a consonant coda
+                # or silent-e (trap, pile, dale), not an inflection
+                # fragment (since+"rity", king+"sley")
                 # rule-spelled right member (snowflake, grasshopper);
                 # consonant-initial only — vowel-initial tails are almost
                 # always suffixes (sign+ature), not compound members
