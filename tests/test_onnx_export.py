@@ -151,3 +151,89 @@ def test_torchscript_export(tmp_path):
         w2, l2, d2 = build_export_model(params, synth.cfg, h_cfg)(phoneme)
     assert int(l1[0]) == int(l2[0])
     np.testing.assert_allclose(w1.numpy(), w2.numpy(), atol=1e-6)
+
+
+def _demo_args(tmp_path, **kw):
+    import argparse
+
+    ns = argparse.Namespace(
+        checkpoint=str(tmp_path / "tiny.onnx"), onnx_insize=32,
+        preprocess_config=None, text="hello world", iter=2,
+        wav_path=str(tmp_path), wav_filename="out.wav")
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def test_demo_onnx_missing_runtime_is_graceful(tmp_path, monkeypatch):
+    """demo.py --checkpoint x.onnx without onnxruntime: clear SystemExit
+    message, no traceback (VERDICT r4 next #7; reference demo.py:107-116
+    hard-imports onnxruntime)."""
+    import builtins
+    import sys
+
+    import pytest
+
+    import demo
+
+    monkeypatch.delitem(sys.modules, "onnxruntime", raising=False)
+    real_import = builtins.__import__
+
+    def no_ort(name, *a, **k):
+        if name == "onnxruntime":
+            raise ImportError("No module named 'onnxruntime'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_ort)
+    with pytest.raises(SystemExit, match="onnxruntime is not installed"):
+        demo.run_onnx(_demo_args(tmp_path))
+
+
+def test_demo_onnx_consumption_with_fake_session(tmp_path, monkeypatch):
+    """Full .onnx consumption path (tokenize → pad to insize → run →
+    duration-trim → wav file) against a stub InferenceSession honouring
+    the exporter's (wav, lengths, duration) contract.  Runs for real the
+    day an onnxruntime wheel exists; until then the stub proves the
+    plumbing."""
+    import sys
+    import types
+
+    import demo
+    from efficientspeech_tpu.config import PreprocessConfig
+    from efficientspeech_tpu.text.g2p import get_lexicon_and_g2p, text2phoneme
+
+    hop = PreprocessConfig().audio.hop_length
+    seen = {}
+
+    class FakeSession:
+        def __init__(self, path):
+            seen["path"] = path
+
+        def get_inputs(self):
+            return [types.SimpleNamespace(name="inputs")]
+
+        def run(self, _outputs, inputs):
+            phoneme = np.asarray(inputs["inputs"])
+            assert phoneme.shape == (1, 32) and phoneme.dtype == np.int32
+            insize = phoneme.shape[1]
+            duration = np.full((1, insize), 2.0, np.float32)
+            wav = np.ones((1, insize * 2 * hop), np.float32) * 0.1
+            return wav, np.array([insize * 2]), duration
+
+    fake = types.ModuleType("onnxruntime")
+    fake.InferenceSession = FakeSession
+    monkeypatch.setitem(sys.modules, "onnxruntime", fake)
+
+    args = _demo_args(tmp_path)
+    demo.run_onnx(args)
+
+    cfg = PreprocessConfig()
+    lexicon, g2p = get_lexicon_and_g2p(cfg)
+    n_real = min(len(text2phoneme(lexicon, g2p, "hello world", cfg)), 32)
+
+    from scipy.io import wavfile
+
+    sr, wav = wavfile.read(str(tmp_path / "out.wav"))
+    assert sr == cfg.audio.sampling_rate
+    assert len(wav) == n_real * 2 * hop  # duration-trimmed, not insize-long
+    assert seen["path"].endswith("tiny.onnx")
