@@ -67,6 +67,7 @@ BLIND = os.path.join(os.path.dirname(__file__), "data", "g2p_blind.tsv")
 BLIND2 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind2.tsv")
 BLIND3 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind3.tsv")
 BLIND4 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind4.tsv")
+BLIND5 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind5.tsv")
 
 
 def test_edit_distance():
@@ -117,12 +118,15 @@ def test_blind_set_is_disjoint():
     blind2 = load_eval_lexicon(BLIND2)
     blind3 = load_eval_lexicon(BLIND3)
     blind4 = load_eval_lexicon(BLIND4)
+    blind5 = load_eval_lexicon(BLIND5)
     assert len(blind) >= 500 and len(blind2) >= 500 \
-        and len(blind3) >= 500 and len(blind4) >= 500
+        and len(blind3) >= 500 and len(blind4) >= 500 \
+        and len(blind5) >= 500
     dev = load_eval_lexicon(EVAL)
     lex = get_builtin_lexicon()
     sets = [("blind1", set(blind)), ("blind2", set(blind2)),
-            ("blind3", set(blind3)), ("blind4", set(blind4))]
+            ("blind3", set(blind3)), ("blind4", set(blind4)),
+            ("blind5", set(blind5))]
     for name, s_ in sets:
         assert not s_ & set(dev), (name, sorted(s_ & set(dev))[:10])
         assert not s_ & set(lex), (name, sorted(s_ & set(lex))[:10])
@@ -355,3 +359,62 @@ def test_derived_and_compound_words():
     assert " ".join(strip_stress(g("notebook"))) == "N OW T B UH K"
     assert " ".join(strip_stress(g("outdoors"))) == "AW T D AO R Z"
     assert " ".join(strip_stress(g("snowman"))) == "S N OW M AE N"
+
+
+def test_blind_ledger_protocol():
+    """Blind-set measurement ledger (VERDICT r4 next #6).  The canonical
+    runner (scripts/g2p_measure.py) records every blind-set evaluation
+    in tests/data/g2p_ledger.jsonl.  The CURRENT blind set (highest-
+    numbered) must have entries from at most ONE measurement session
+    (one git SHA), all sanctioned — an accidental evaluation during
+    development writes a second-SHA entry and fails this test, so the
+    round-4 session-8 disclosure incident can no longer recur silently."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "g2p_measure", os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts", "g2p_measure.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    current = mod.current_blind_set()
+    assert current is not None
+
+    ledger_path = os.path.join(os.path.dirname(__file__), "data",
+                               "g2p_ledger.jsonl")
+    assert os.path.isfile(ledger_path), "ledger must be committed"
+    entries = [json.loads(ln) for ln in open(ledger_path)
+               if ln.strip()]
+    cur_entries = [e for e in entries if e["set"] == current]
+    shas = {e["git_sha"] for e in cur_entries}
+    assert len(shas) <= 1, (
+        f"CURRENT blind set {current} was measured in {len(shas)} "
+        f"distinct sessions ({sorted(shas)}) — it is burned; author the "
+        "next blind set and re-measure")
+    assert all(e["sanctioned"] for e in cur_entries), (
+        f"unsanctioned measurement of the current blind set {current}: "
+        f"{[e for e in cur_entries if not e['sanctioned']]}")
+
+
+def test_measure_runner_refuses_unsanctioned_current_blind():
+    """The runner hard-refuses to measure the current blind set without
+    --sanction (prevention on top of the ledger's detection)."""
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "g2p_measure2", os.path.join(repo, "scripts", "g2p_measure.py"))
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    current = mod.current_blind_set()
+    r = subprocess.run(
+        [sys.executable, "scripts/g2p_measure.py",
+         os.path.join("tests", "data", current)],
+        cwd=repo, capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": "", "PYTHONPATH": ""})
+    assert r.returncode != 0
+    assert "REFUSED" in (r.stderr + r.stdout)
