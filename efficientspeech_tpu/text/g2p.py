@@ -1493,13 +1493,18 @@ _VALID_ONSETS = frozenset({
 class G2p:
     """Callable matching the ``g2p_en.G2p`` protocol (word → phone list).
 
-    Lookup chain (replacing the unavailable neural g2p_en,
-    reference: synthesize.py:33-35): optional g2p_en backend → built-in
-    lexicon (~1,600 frequent + irregular words,
-    text/builtin_lexicon.py) → compound split over the built-in lexicon
-    (snowman, raincoat) → rule letter-to-sound (rule_g2p)."""
+    Lookup chain (the analogue of the reference's lexicon→neural
+    front door, reference: synthesize.py:33-64): optional g2p_en
+    backend → built-in lexicon (~1,800 frequent + irregular words,
+    text/builtin_lexicon.py) → morphological derivation → compound
+    split over the built-in lexicon (snowman, raincoat) → OUR trained
+    neural seq2seq (text/neural_g2p.py, confidence-routed) → rule
+    letter-to-sound (rule_g2p).
 
-    def __init__(self):
+    ``use_neural=False`` (or a missing checkpoint) reproduces the
+    round-4 rules-only chain exactly."""
+
+    def __init__(self, use_neural: bool = True):
         self._backend = None
         try:  # optional: use g2p_en when installed (reference parity)
             from g2p_en import G2p as _NeuralG2p  # type: ignore
@@ -1510,6 +1515,11 @@ class G2p:
             get_builtin_lexicon)
 
         self._builtin = get_builtin_lexicon()
+        self._neural = None
+        if use_neural:
+            from efficientspeech_tpu.text.neural_g2p import load_default
+
+            self._neural = load_default()
 
     _NOT_COMPOUND_TAILS = {"able", "less", "ness", "ment", "ing", "ably",
                            "nation", "ration", "cation", "ture", "tion",
@@ -1741,6 +1751,10 @@ class G2p:
             compound = self._compound(w)
             if compound:
                 return compound
+        if self._neural is not None:
+            phones = self._neural.confident(w)
+            if phones:
+                return phones
         return rule_g2p(word)
 
 
