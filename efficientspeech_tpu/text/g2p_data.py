@@ -144,12 +144,23 @@ _PREFIXES = {
 }
 
 
+_EXTRA_TSV = os.path.join(os.path.dirname(__file__), "data",
+                          "g2p_train_extra.tsv")
+
+
 def load_gold(include_blind123: bool = True) -> Dict[str, List[str]]:
-    """Gold pairs: builtin lexicon + dev + (optionally) blind1-3."""
+    """Gold pairs: authored extra training lexicon (lowest priority;
+    text/data/g2p_train_extra.tsv, ~2.2k entries, 96% agreement with
+    the trusted sets on their 549-word overlap) + builtin lexicon +
+    dev + (optionally) blind1-3.  Later sources override earlier ones,
+    so the long-vetted lexicon/dev/blind prons win every conflict."""
     from efficientspeech_tpu.text.builtin_lexicon import get_builtin_lexicon
     from efficientspeech_tpu.text.g2p_eval import load_eval_lexicon
 
     gold: Dict[str, List[str]] = {}
+    if os.path.isfile(_EXTRA_TSV):
+        for w, ph in load_eval_lexicon(_EXTRA_TSV).items():
+            gold[w] = list(ph)
     for w, ph in get_builtin_lexicon().items():
         gold[w] = list(ph)
     names = ["g2p_dev.tsv"]

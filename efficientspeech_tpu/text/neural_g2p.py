@@ -1,4 +1,4 @@
-"""Serving-side neural G2P: numpy-only greedy decode of the trained
+"""Serving-side neural G2P: numpy-only decode of the trained
 char→phone transformer (text/g2p_model.py, trained by train_g2p.py).
 
 This is the front door's OOV fallback (the analogue of the reference's
@@ -7,13 +7,17 @@ the text frontend of every CLI and the HTTP server, so it must be pure
 numpy — importing jax here would dial the TPU relay from every process
 (CLAUDE.md relay hazards) and cost ~seconds of import time.
 
-The checkpoint is a plain .npz committed at text/data/neural_g2p_en.npz
-(~3 MB); ``load_default()`` memoizes it.  Each decode returns a
-confidence (mean per-token log-prob); the front door routes to the rule
-L2S below a threshold calibrated on the burned blind4 set (stored in
-the npz meta by scripts/g2p_calibrate.py).
+Checkpoints are plain .npz files committed under text/data/: the
+primary ``neural_g2p_en.npz`` plus optional ensemble members
+``neural_g2p_en.E*.npz`` (independently seeded trainings whose per-step
+log-probs are averaged — g2p_model.beam_decode).  ``load_default()``
+memoizes the whole ensemble.  Each decode returns a confidence (mean
+per-token log-prob of the winning hypothesis); the front door routes to
+the rule L2S below a threshold calibrated on the burned blind4 set
+(scripts/g2p_calibrate.py stores it in the primary npz meta).
 """
 
+import glob
 import json
 import os
 import threading
@@ -31,16 +35,34 @@ _default = None
 _default_tried = False
 
 
-class NeuralG2p:
-    """word → (phones, confidence); thread-safe, with a small LRU."""
+def _load_npz(path):
+    z = np.load(path)
+    params = {k[2:]: z[k] for k in z.files if k.startswith("p_")}
+    meta = {}
+    if "__meta" in z.files:
+        meta = json.loads(bytes(z["__meta"]).decode())
+    return params, meta
 
-    def __init__(self, path: str = DEFAULT_PATH, cache_size: int = 4096):
-        z = np.load(path)
-        self.params = {k[2:]: z[k] for k in z.files if k.startswith("p_")}
-        self.meta = {}
-        if "__meta" in z.files:
-            self.meta = json.loads(bytes(z["__meta"]).decode())
+
+class NeuralG2p:
+    """word → (phones, confidence); thread-safe, with a small LRU.
+
+    ``path`` is the primary checkpoint; sibling ``<stem>.E*.npz`` files
+    are loaded as ensemble members.  ``beam`` ≤ 1 uses the batched
+    greedy decode (single model only); ≥ 2 uses length-normalized beam
+    search over the ensemble (g2p_model.beam_decode).
+    """
+
+    def __init__(self, path: str = DEFAULT_PATH, cache_size: int = 4096,
+                 beam: Optional[int] = None):
+        params, self.meta = _load_npz(path)
+        self.params_list = [params]
+        stem = path[:-4] if path.endswith(".npz") else path
+        for extra in sorted(glob.glob(stem + ".E*.npz")):
+            p2, _ = _load_npz(extra)
+            self.params_list.append(p2)
         self.threshold = float(self.meta.get("route_threshold", -0.35))
+        self.beam = int(self.meta.get("beam", 4)) if beam is None else beam
         self._cache = {}
         self._cache_size = cache_size
 
@@ -53,9 +75,13 @@ class NeuralG2p:
         src = M.encode_word(word)
         if src is None:
             return [], float("-inf")
-        toks, conf = M.greedy_decode(self.params, src[None, :])
-        phones = M.tokens_to_phones(toks[0])
-        c = float(conf[0]) if phones else float("-inf")
+        if self.beam <= 1 and len(self.params_list) == 1:
+            toks, conf = M.greedy_decode(self.params_list[0], src[None, :])
+            phones = M.tokens_to_phones(toks[0])
+            c = float(conf[0]) if phones else float("-inf")
+        else:
+            phones, c = M.beam_decode(self.params_list, src,
+                                      beam=max(self.beam, 2))
         if len(self._cache) >= self._cache_size:
             self._cache.clear()
         self._cache[word] = (phones, c)
