@@ -289,3 +289,115 @@ def test_dynamic_batching_groups_concurrent_requests(synth):
             [b for _, b in results]
     finally:
         server.shutdown()
+
+
+def test_statusz_reports_generation_and_inflight(synth):
+    from serve import ServeState, make_handler
+
+    state = ServeState(generation=3)
+    server, port = _start(make_handler(synth, state=state))
+    try:
+        import json
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/statusz", timeout=30) as r:
+            s = json.loads(r.read())
+        assert s["generation"] == 3
+        assert s["rss_mb"] > 0
+        assert s["inflight"] >= 1  # this very request
+        assert s["draining"] is False
+    finally:
+        server.shutdown()
+
+
+def test_rss_recycler_drains_inflight_before_exec(synth):
+    """RSS breach → accept loop stops but the listening socket stays
+    open (new connections queue, not refused), in-flight requests finish
+    BEFORE the (injected) exec fires (VERDICT r4 next #3)."""
+    import socket
+    import time
+
+    from serve import make_handler, RssRecycler, ServeState
+
+    release = threading.Event()
+    entered = threading.Event()
+
+    class GatedSynth:
+        def __getattr__(self, name):
+            return getattr(synth, name)
+
+        def tts(self, text, speaker=None):
+            entered.set()
+            release.wait(timeout=60)
+            return synth.tts(text)
+
+    synth.tts("held request")  # warm the shape: the drain below must
+    # wait on the GATE, not on a 60 s CPU compile
+    state = ServeState(generation=0)
+    server, port = _start(make_handler(GatedSynth(), state=state))
+    execd = threading.Event()
+    seen = {}
+
+    def fake_exec(srv):
+        seen["inflight_at_exec"] = state.inflight
+        seen["socket_open"] = srv.socket.fileno() != -1
+        execd.set()
+
+    rec = RssRecycler(server, state, limit_mb=1.0,  # any real RSS breaches
+                      check_interval_s=0.05, drain_timeout_s=30.0,
+                      exec_fn=fake_exec)
+    results = {}
+
+    def slow_request():
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/tts?text=held+request",
+                timeout=300) as r:
+            results["data"] = r.read()
+
+    t = threading.Thread(target=slow_request)
+    t.start()
+    assert entered.wait(timeout=60)
+    rec.start()  # breaches immediately; must WAIT for the held request
+    time.sleep(0.5)
+    assert not execd.is_set(), "exec fired while a request was in flight"
+    # accept loop is stopping/stopped, but a new TCP connect must still
+    # succeed (kernel backlog) — no client sees a refused connection
+    c = socket.create_connection(("127.0.0.1", port), timeout=5)
+    c.close()
+    release.set()
+    t.join(timeout=60)
+    assert results["data"][:4] == b"RIFF"
+    assert execd.wait(timeout=30)
+    assert seen["inflight_at_exec"] == 0
+    assert seen["socket_open"]
+
+
+def test_make_server_adopts_inherited_fd(synth):
+    """Post-recycle child: make_server picks up SERVE_INHERIT_FD and
+    serves on the SAME listening socket instead of rebinding."""
+    import os
+    import socket
+
+    from serve import make_handler, make_server
+
+    lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(64)
+    port = lsock.getsockname()[1]
+    lsock.set_inheritable(True)
+    os.environ["SERVE_INHERIT_FD"] = str(lsock.fileno())
+    try:
+        server = make_server("127.0.0.1", port, make_handler(synth))
+        assert "SERVE_INHERIT_FD" not in os.environ  # consumed
+        assert server.server_port == port
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+                assert r.read() == b"ok"
+        finally:
+            server.shutdown()
+    finally:
+        os.environ.pop("SERVE_INHERIT_FD", None)
