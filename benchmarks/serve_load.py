@@ -73,9 +73,28 @@ def run_soak(args, synth, server):
         i = min(int((time.time() - t_start) / phase_secs), len(levels) - 1)
         return levels[i]
 
+    external = server is None
+
+    def _server_stat():
+        """(rss_mb, generation): own process when in-process, /statusz
+        when driving an external serve.py (worker recycles re-exec it,
+        so /proc/self would be the wrong process)."""
+        if not external:
+            return _rss_mb(), 0
+        try:
+            import json as _json
+
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{args.port}/statusz",
+                    timeout=10) as r:
+                s = _json.loads(r.read())
+            return s["rss_mb"], s["generation"]
+        except Exception:
+            return float("nan"), -1  # mid-recycle: server re-warming
+
     records = []  # (t, latency_s, voice_s, kind, level, ok)
     rec_lock = threading.Lock()
-    rss_samples = [(0.0, _rss_mb())]
+    rss_samples = [(0.0,) + _server_stat()]
 
     def one_request(kind, url, rng):
         if args.n_speakers > 1 and rng.random() < 0.2:
@@ -113,7 +132,7 @@ def run_soak(args, synth, server):
     def monitor():
         while time.time() < t_end:
             time.sleep(15)
-            rss_samples.append((time.time() - t_start, _rss_mb()))
+            rss_samples.append((time.time() - t_start,) + _server_stat())
 
     threads = ([threading.Thread(target=client, args=(i,))
                 for i in range(args.clients)]
@@ -124,8 +143,9 @@ def run_soak(args, synth, server):
     for th in threads[:args.clients]:
         th.join()
     wall = time.time() - t_start
-    server.shutdown()
-    rss_samples.append((wall, _rss_mb()))
+    if server is not None:
+        server.shutdown()
+    rss_samples.append((wall,) + _server_stat())
 
     oks = [r for r in records if r[5]]
     errs = [r for r in records if not r[5]]
@@ -158,10 +178,29 @@ def run_soak(args, synth, server):
     if len(spk):
         print(f"  spkcnd: n {len(spk):>5}  p50 {np.percentile(spk, 50):6.0f}"
               f"  p99 {np.percentile(spk, 99):6.0f} ms", flush=True)
-    rss = [m for _, m in rss_samples]
+    rss = [m for _, m, _ in rss_samples if np.isfinite(m)]
     print(f"rss MB: start {rss[0]:.0f}  max {max(rss):.0f}  "
           f"end {rss[-1]:.0f}  (drift {rss[-1] - rss[0]:+.0f})",
           flush=True)
+    gens = [g for _, _, g in rss_samples if g >= 0]
+    if external and gens:
+        recycles = gens[-1] - gens[0]
+        warming = sum(1 for _, _, g in rss_samples if g < 0)
+        print(f"worker recycles observed: {recycles} "
+              f"(generation {gens[0]} -> {gens[-1]}; "
+              f"{warming} samples landed mid-warmup)", flush=True)
+        # p99 across recycle windows: requests completing within ±30 s
+        # of a generation change (VERDICT r4 next #3 reporting)
+        changes = [t for (t, _, g1), (_, _, g0) in
+                   zip(rss_samples[1:], rss_samples) if g0 >= 0
+                   and g1 >= 0 and g1 != g0]
+        near = [r[1] for r in oks
+                if any(abs(r[0] - c) < 30 for c in changes)]
+        if near:
+            nl = np.array(near) * 1e3
+            print(f"recycle-window requests: n {len(near)}  "
+                  f"p50 {np.percentile(nl, 50):.0f}  "
+                  f"p99 {np.percentile(nl, 99):.0f} ms", flush=True)
 
 
 def main():
@@ -207,7 +246,33 @@ def main():
                              "(default max(32, --clients); CPU smoke "
                              "runs want a small cap — each ladder rung "
                              "is a 30-120 s CPU compile)")
+    parser.add_argument("--external", action="store_true",
+                        help="don't spawn an in-process server: drive an "
+                             "already-running serve.py on --port.  "
+                             "Required to soak the --rss-limit-mb worker-"
+                             "recycle path (a re-exec would kill this "
+                             "harness if the server lived in-process); "
+                             "RSS/generation then come from /statusz")
     args = parser.parse_args()
+
+    if args.external:
+        if not args.soak:
+            raise SystemExit("--external requires --soak")
+        # readiness probe: serve.py may still be warming up
+        url = f"http://127.0.0.1:{args.port}/healthz"
+        deadline = time.time() + 600
+        while True:
+            try:
+                with urllib.request.urlopen(url, timeout=5) as r:
+                    if r.read() == b"ok":
+                        break
+            except Exception:
+                if time.time() > deadline:
+                    raise SystemExit(f"server on :{args.port} never "
+                                     "became healthy")
+                time.sleep(2)
+        run_soak(args, None, None)
+        return
 
     from efficientspeech_tpu.utils.cache import enable_compilation_cache
 

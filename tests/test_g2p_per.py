@@ -246,8 +246,12 @@ def test_rule_g2p_single_primary_stress():
 
 def test_session8_rule_classes():
     """Spot-check the round-4 session-8 machinery, one word per class
-    (words from the tuned-on sets, never from the current blind set)."""
-    g = G2p()
+    (words from the tuned-on sets, never from the current blind set).
+    use_neural=False: these probe the RULE chain — with the round-5
+    neural OOV fallback active, some of these words route to the model
+    instead (whose outputs are gated by the blind-set PER tests, not
+    by per-class spot values)."""
+    g = G2p(use_neural=False)
     checks = {
         "addiction": "AH D IH K SH AH N",   # _stress_last + -ion verb stress
         "safari": "S AH F AA R IY",         # loanword penult, open
