@@ -37,6 +37,7 @@ __all__ = [
     "mcd_dtw",
     "f0_frame_metrics",
     "duration_mae",
+    "log_mel_numpy",
     "utterance_quality",
     "batch_quality",
 ]
@@ -160,6 +161,32 @@ def duration_mae(dur_pred: np.ndarray, dur_gt: np.ndarray,
     return float(diff[real].mean())
 
 
+def log_mel_numpy(wav: np.ndarray, sr: int = 22050, n_fft: int = 1024,
+                  hop: int = 256, win: int = 1024, n_mels: int = 80,
+                  fmin: float = 0.0, fmax: float = 8000.0) -> np.ndarray:
+    """Host-side log-mel of a waveform, matching audio/stft.py's
+    MelSpectrogram transform exactly (reflect center-pad, periodic Hann,
+    slaney filterbank, log(clamp(., 1e-5))) — used to re-analyze vocoded
+    audio for the reconstruction-floor MCD without touching the device.
+
+    wav: (T,) float in [-1, 1].  Returns (frames, n_mels)."""
+    from efficientspeech_tpu.audio.mel import mel_filterbank
+
+    wav = np.asarray(wav, np.float64)
+    pad = n_fft // 2
+    y = np.pad(wav, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    n = np.arange(win)
+    window = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win)
+    if win < n_fft:
+        lpad = (n_fft - win) // 2
+        window = np.pad(window, (lpad, n_fft - win - lpad))
+    mag = np.abs(np.fft.rfft(y[idx] * window, n=n_fft, axis=-1))
+    basis = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+    return np.log(np.clip(mag @ basis.T, 1e-5, None))
+
+
 def utterance_quality(mel_pred: np.ndarray, mel_gt: np.ndarray,
                       dur_pred: Optional[np.ndarray] = None,
                       dur_gt: Optional[np.ndarray] = None,
@@ -167,13 +194,25 @@ def utterance_quality(mel_pred: np.ndarray, mel_gt: np.ndarray,
                       wav_pred: Optional[np.ndarray] = None,
                       wav_ref: Optional[np.ndarray] = None,
                       sr: int = 22050, hop: int = 256,
-                      n_coeffs: int = 24) -> Dict[str, float]:
+                      n_coeffs: int = 24,
+                      floor: bool = True) -> Dict[str, float]:
     """All metrics for one utterance.  mel_* are (T, n_mels) log-mels
     trimmed to their valid lengths.  wav_ref is the vocoded ground-truth
-    mel (see module docstring); omit the wavs to skip the F0 metrics."""
+    mel (see module docstring); omit the wavs to skip the F0 metrics.
+
+    ``floor`` (with wav_ref): also report ``mcd_floor_db`` — the MCD of
+    the RECONSTRUCTION (ground-truth mel vocoded, then re-analyzed to
+    log-mel on the host) against the ground-truth mel, through the same
+    DTW.  This is the corpus+vocoder reconstruction floor: the part of
+    mcd_db no acoustic model can remove.  Read mcd_db - mcd_floor_db as
+    the acoustic model's own gap (VERDICT r4 next #4)."""
     out: Dict[str, float] = {}
     mcd, path = mcd_dtw(mel_pred, mel_gt, n_coeffs)
     out["mcd_db"] = mcd
+    if floor and wav_ref is not None and mel_gt.shape[0] >= 2:
+        n_mels = mel_gt.shape[1]
+        mel_rec = log_mel_numpy(wav_ref, sr=sr, hop=hop, n_mels=n_mels)
+        out["mcd_floor_db"] = mcd_dtw(mel_rec, mel_gt, n_coeffs)[0]
     if wav_pred is not None and wav_ref is not None:
         from efficientspeech_tpu.audio.dio import dio_stonemask
 

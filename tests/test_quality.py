@@ -163,3 +163,43 @@ def test_batch_quality_nan_aware_mean():
     agg = batch_quality(per)
     assert agg["mcd_db"] == pytest.approx(5.0)
     assert agg["f0_rmse_hz"] == pytest.approx(10.0)
+
+
+def test_log_mel_numpy_matches_device_extractor():
+    """The host re-analysis used for the reconstruction floor must match
+    audio/stft.py's MelSpectrogram bit-for-bit (same pad, window,
+    filterbank, clamp) — otherwise the floor carries analysis skew."""
+    import jax.numpy as jnp
+
+    from efficientspeech_tpu.audio.stft import MelSpectrogram
+    from efficientspeech_tpu.eval.quality import log_mel_numpy
+
+    rng = np.random.default_rng(0)
+    wav = (0.3 * np.sin(2 * np.pi * 220 * np.arange(8192) / 22050)
+           + 0.01 * rng.standard_normal(8192)).astype(np.float32)
+    dev_mel, _ = MelSpectrogram()(jnp.asarray(wav[None, :]))
+    host_mel = log_mel_numpy(wav)
+    assert host_mel.shape == dev_mel.shape[1:]
+    np.testing.assert_allclose(host_mel, np.asarray(dev_mel[0]),
+                               rtol=0, atol=2e-4)
+
+
+def test_reconstruction_floor_reported_and_below_bad_prediction():
+    """mcd_floor_db: a faithful vocoder (identity here: wav_ref whose
+    re-analysis IS the ground-truth mel) gives a near-zero floor, while
+    a noisy prediction's mcd_db sits far above it — the gap is the
+    acoustic model's share."""
+    from efficientspeech_tpu.eval.quality import (log_mel_numpy,
+                                                  utterance_quality)
+
+    rng = np.random.default_rng(1)
+    wav_ref = (0.3 * np.sin(2 * np.pi * 180 * np.arange(12288) / 22050)
+               ).astype(np.float32)
+    mel_gt = log_mel_numpy(wav_ref)          # GT mel == analysis of ref
+    mel_pred = mel_gt + rng.normal(0, 1.0, mel_gt.shape)
+    out = utterance_quality(mel_pred.astype(np.float32),
+                            mel_gt.astype(np.float32), wav_pred=None,
+                            wav_ref=wav_ref)
+    assert "mcd_floor_db" in out
+    assert out["mcd_floor_db"] < 1e-4
+    assert out["mcd_db"] > out["mcd_floor_db"] + 3.0
