@@ -95,7 +95,10 @@ def main():
         fn = rule_g2p
     else:
         from efficientspeech_tpu.text.neural_g2p import load_default
-        fn = load_default()
+        model = load_default()
+        if model is None:
+            raise SystemExit("neural checkpoint missing/unreadable")
+        fn = lambda w: model(w)[0]  # NeuralG2p returns (phones, conf)
 
     lex = load_eval_lexicon(args.tsv)
     per, acc, cases = phone_error_rate(fn, lex,

@@ -38,18 +38,31 @@ and the next one is authored fresh):
   then drove the session's French/agentive batches, so it too is a
   TUNED-ON retention set now.  Post-tuning: 57.19% / PER 10.40%.
 
-- tests/data/g2p_blind4.tsv (592 entries) — the CURRENT blind
-  generalization set, authored fresh AFTER the French/agentive
-  batches froze, mechanically filtered disjoint from the lexicon, the
-  dev set, AND blind sets #1/#2/#3, and measured ONCE (2026-08-19).
-  These are the honest OOV numbers.  Blind4 samples hard learned
-  derivations (-ery/-ory/-ary/-try), French nominals, and compounds:
-    front door  PER 0.1337 / word accuracy 0.5051 (stress-insensitive)
-                PER 0.1655 / word accuracy 0.4324 (stress-SENSITIVE)
-    rules alone PER 0.1533 / word accuracy 0.4443 (stress-insensitive)
-  Failures on THIS set MUST NOT be fixed by adding its words to the
-  lexicon or tuning rules against them; doing so requires authoring
-  blind set #5 and re-measuring.
+- tests/data/g2p_blind4.tsv (592 entries) — authored fresh AFTER the
+  French/agentive batches froze and measured once at 50.51% / PER
+  13.37% (2026-08-19) — the round-4 honest OOV number.  In round 5 it
+  became the neural G2P's calibration/dev set (threshold + ensemble
+  selection were tuned against it), so it is a TUNED-ON set now.
+  Post-calibration: front door 65.54% / PER 8.67% (stress-sensitive
+  61.15% / 10.90%).  Blind1–3 additionally became neural TRAINING
+  data in round 5 (their retention is now ~95–99%).
+
+- tests/data/g2p_blind5.tsv (596 entries) — the CURRENT blind
+  generalization set, authored and frozen (commit e0b2581) BEFORE the
+  neural G2P existed, mechanically disjoint from the lexicon, the dev
+  set, the neural training data, and blind sets #1–#4, and measured
+  ONCE (2026-08-20, ledger-recorded).  The honest OOV numbers:
+    front door  PER 0.0755 / word accuracy 0.7114 (stress-insensitive)
+                PER 0.0956 / word accuracy 0.6879 (stress-SENSITIVE)
+    neural only PER 0.0701 / word accuracy 0.7433 (stress-insensitive)
+    rules alone PER 0.1419 / word accuracy 0.4581 (stress-insensitive)
+  This clears the round-4 VERDICT gate (≥60% word-acc / PER ≤10%) and
+  matches the reference's neural g2p_en ballpark (~70%+).  The
+  blind4-calibrated routing threshold costs ~3 pts vs neural-only on
+  this set; retuning it against blind5 would burn the set, so the
+  routing stays as calibrated on blind4.  Failures on THIS set MUST
+  NOT drive any tuning; doing so requires authoring blind set #6 and
+  re-measuring.
 """
 
 import os
@@ -195,21 +208,50 @@ def test_front_door_blind3_bound():
 
 
 def test_front_door_blind4_bound():
-    """BLIND generalization gates on the current blind set (#4),
-    measured once 2026-08-19: front door PER 13.37% / acc 50.51%
-    stress-insensitive, PER 16.55% / acc 43.24% stress-sensitive;
-    enforced with small margin.  This is the honest OOV number — every
-    entry exercises derivation / compounds / rules, never a lexicon
-    hit, and none was ever tuned against.  Blind4 samples hard learned
-    derivations (-ery/-ory/-ary/-try), French nominals, and compounds,
-    so its absolute level is not comparable across sets."""
+    """Blind-set-#4 gates.  NOTE: tuned-on from round 5 (the neural
+    G2P's routing threshold and ensemble were calibrated against it) —
+    RETENTION gates now, not generalization.  Post-calibration
+    measured: PER 8.67% / acc 65.54% stress-insensitive, 10.90% /
+    61.15% stress-sensitive."""
     blind4 = load_eval_lexicon(BLIND4)
     per, acc, cases = phone_error_rate(G2p(), blind4, ignore_stress=True)
-    assert per <= 0.148, f"blind4 PER regressed: {per:.3f}; {cases[:5]}"
-    assert acc >= 0.47, f"blind4 word accuracy regressed: {acc:.3f}"
+    assert per <= 0.10, f"blind4 PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.62, f"blind4 word accuracy regressed: {acc:.3f}"
     per_s, acc_s, _ = phone_error_rate(G2p(), blind4, ignore_stress=False)
-    assert per_s <= 0.18, f"blind4 stress PER regressed: {per_s:.3f}"
-    assert acc_s >= 0.40, f"blind4 stress accuracy regressed: {acc_s:.3f}"
+    assert per_s <= 0.125, f"blind4 stress PER regressed: {per_s:.3f}"
+    assert acc_s >= 0.58, f"blind4 stress accuracy regressed: {acc_s:.3f}"
+
+
+def test_front_door_blind5_bound():
+    """BLIND generalization gates on the current blind set (#5),
+    measured once 2026-08-20 (ledger-recorded, sanctioned): front door
+    PER 7.55% / acc 71.14% stress-insensitive, PER 9.56% / acc 68.79%
+    stress-sensitive; enforced with small margin.  This is the honest
+    OOV number — the set was authored and frozen before the neural G2P
+    existed and never drove any tuning.  Clears the round-4 VERDICT
+    gate (>=60% word-acc / PER <=10%); the reference's neural g2p_en
+    fallback is ~70%+ on comparable held-out words."""
+    blind5 = load_eval_lexicon(BLIND5)
+    per, acc, cases = phone_error_rate(G2p(), blind5, ignore_stress=True)
+    assert per <= 0.09, f"blind5 PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.67, f"blind5 word accuracy regressed: {acc:.3f}"
+    per_s, acc_s, _ = phone_error_rate(G2p(), blind5, ignore_stress=False)
+    assert per_s <= 0.11, f"blind5 stress PER regressed: {per_s:.3f}"
+    assert acc_s >= 0.64, f"blind5 stress accuracy regressed: {acc_s:.3f}"
+
+
+def test_neural_g2p_blind5_bound():
+    """Neural-ensemble-only on blind set #5: measured PER 7.01% /
+    acc 74.33% (stress-insensitive) in the sanctioned session."""
+    from efficientspeech_tpu.text.neural_g2p import load_default
+
+    model = load_default()
+    assert model is not None, "shipped neural G2P checkpoint must load"
+    blind5 = load_eval_lexicon(BLIND5)
+    per, acc, cases = phone_error_rate(
+        lambda w: model(w)[0], blind5, ignore_stress=True)
+    assert per <= 0.085, f"blind5 neural PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.70, f"blind5 neural accuracy regressed: {acc:.3f}"
 
 
 def test_rule_g2p_blind4_bound():
