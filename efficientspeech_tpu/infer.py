@@ -293,11 +293,19 @@ class Synthesizer:
             self._evict_programs()
         return fn
 
-    def pin_programs(self):
-        """Mark every currently-compiled fused program as pinned: the
-        eviction policy (``max_programs``) never drops them.  The serving
-        layer calls this after the startup precompile ladder so warm_only
-        routing always has its covering shapes."""
+    def pin_programs(self, shapes=None):
+        """Mark fused programs as pinned: the eviction policy
+        (``max_programs``) never drops them.  The serving layer calls
+        this after the startup precompile so warm_only routing always
+        has its covering shapes.  With ``shapes`` (iterable of (bucket,
+        frames)) pin only those programs — used by the background ladder
+        warm so concurrently bg-compiled cold shapes stay evictable;
+        without it, pin everything currently compiled."""
+        if shapes is not None:
+            self._pinned_programs |= {
+                ("fused", self.vocoder_mode, self.transfer, b, f)
+                for b, f in shapes}
+            return
         self._pinned_programs |= {k for k in self._jitted
                                   if k[0] == "fused"}
 

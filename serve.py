@@ -210,11 +210,16 @@ def make_server(host: str, port: int, handler) -> ThreadingHTTPServer:
     import os
     import socket as socketlib
 
+    class _Server(ThreadingHTTPServer):
+        # connections arriving during a recycle's re-warm queue here in
+        # the kernel backlog; the stdlib default (5) would drop SYNs
+        # under any real client count
+        request_queue_size = 128
+
     fd = os.environ.pop("SERVE_INHERIT_FD", None)
     if fd is None:
-        return ThreadingHTTPServer((host, port), handler)
-    server = ThreadingHTTPServer((host, port), handler,
-                                 bind_and_activate=False)
+        return _Server((host, port), handler)
+    server = _Server((host, port), handler, bind_and_activate=False)
     server.socket.close()
     server.socket = socketlib.socket(fileno=int(fd))
     server.server_address = server.socket.getsockname()
@@ -242,25 +247,48 @@ class RssRecycler:
     def __init__(self, server, state: ServeState, limit_mb: float,
                  check_interval_s: float = 5.0,
                  drain_timeout_s: float = 120.0,
+                 min_uptime_s: float = 120.0,
+                 headroom_mb: float = 512.0,
+                 arm_guard: bool = True,
                  exec_fn=None, rss_fn=None):
         self.server = server
         self.state = state
         self.limit_mb = limit_mb
         self.check_interval_s = check_interval_s
         self.drain_timeout_s = drain_timeout_s
+        self.min_uptime_s = min_uptime_s
+        self.headroom_mb = headroom_mb
+        self.arm_guard = arm_guard
         self.exec_fn = exec_fn or reexec_with_socket
         self.rss_fn = rss_fn or rss_mb
         self.recycling = False
+        self._armed_at = None
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     def start(self):
+        # recycle-loop guard: if RSS already sits at/above the limit when
+        # the watchdog arms (the warm server's floor on this rig can be
+        # above a low limit), an unmodified limit would recycle forever
+        # without serving a single request — raise the effective limit to
+        # the observed floor plus headroom, loudly
+        mb = self.rss_fn()
+        if self.arm_guard and mb >= self.limit_mb:
+            eff = mb + self.headroom_mb
+            print(f"[serve] RSS {mb:.0f} MB already >= limit "
+                  f"{self.limit_mb:.0f} MB at arm time: raising effective "
+                  f"limit to {eff:.0f} MB (recycle-loop guard)", flush=True)
+            self.limit_mb = eff
+        self._armed_at = time.time()
         self._thread.start()
 
     def _run(self):
         while True:
             time.sleep(self.check_interval_s)
             mb = self.rss_fn()
-            if mb > self.limit_mb:
+            # min-uptime: never recycle within min_uptime_s of arming —
+            # each generation must actually serve before the next re-warm
+            if (mb > self.limit_mb
+                    and time.time() - self._armed_at >= self.min_uptime_s):
                 print(f"[serve] RSS {mb:.0f} MB > limit "
                       f"{self.limit_mb:.0f} MB: recycling worker "
                       f"(generation {self.state.generation})", flush=True)
@@ -662,6 +690,12 @@ def main():
     parser.add_argument("--drain-timeout", type=float, default=120.0,
                         help="max seconds to wait for in-flight requests "
                              "before a recycle re-execs anyway")
+    parser.add_argument("--min-uptime", type=float, default=120.0,
+                        help="seconds after the RSS watchdog arms before "
+                             "a recycle may fire — guarantees each "
+                             "generation serves before re-warming (plus "
+                             "an arm-time guard: a limit at/below the "
+                             "warm RSS floor is raised to floor+512 MB)")
     from efficientspeech_tpu.config import add_arch_args, arch_overrides
 
     add_arch_args(parser)
@@ -685,49 +719,75 @@ def main():
         model_overrides=arch_overrides(args))
     print("warming up ...")
     synth.warmup(args.warmup_text, iters=2)
-    # compile the serving-shape ladder up front: every pow2 batch size ×
-    # every configured phoneme bucket (at its default speculative frame
-    # level).  A cold remote compile takes minutes on tunneled TPUs and
-    # stalls every queued request; after this, warm_only routing
-    # guarantees NO request ever compiles inline — an unseen shape is
-    # served by the next-larger warm program (numerically identical;
-    # the extra buffer tail never crosses the link)
-    buckets = [int(x) for x in args.precompile_buckets.split(",") if x]
+    # Coverage-first warm-up: one LARGEST-bucket program per batch
+    # extreme — batch 1 (the single-stream router only matches batch-1
+    # programs) and the max batch (covers every fused batch shape) —
+    # covers EVERY request shape via warm_only routing, so the server is
+    # ready after ~2 compiles (~1 min post-recycle from the compile
+    # cache) instead of the full bucket×batch ladder (~6 min on tunneled
+    # TPUs).  The remaining ladder rungs (tighter shapes = less wasted
+    # compute per request) warm in the background while serving; a cold
+    # remote compile never happens inline — an unseen shape is served by
+    # the next-larger warm program (numerically identical; the extra
+    # buffer tail never crosses the link).
+    buckets = sorted(int(x) for x in args.precompile_buckets.split(",")
+                     if x)
     batch_sizes = [1]
     if args.dynamic_batch:
         b = 2
         while b <= args.max_batch:
             batch_sizes.append(b)
             b *= 2
-    print(f"precompiling {len(buckets)} buckets x "
-          f"{len(batch_sizes)} batch sizes ...")
+    cover_batches = sorted({batch_sizes[0], batch_sizes[-1]})
+    print(f"precompiling coverage shapes (bucket {buckets[-1]} x "
+          f"batches {cover_batches}); ladder of {len(buckets)} buckets x "
+          f"{len(batch_sizes)} batch sizes follows in background ...")
     t0 = time.time()
-    shapes = synth.precompile(buckets=buckets, batch_sizes=batch_sizes)
-    print(f"warm shapes ({time.time() - t0:.1f}s): {shapes}")
+    shapes = synth.precompile(buckets=buckets[-1:],
+                              batch_sizes=cover_batches)
+    print(f"coverage shapes ready ({time.time() - t0:.1f}s): {shapes}",
+          flush=True)
     synth.warm_only = True
-    synth.pin_programs()  # the ladder stays; only bg-compiled shapes evict
+    synth.pin_programs()  # coverage stays; only bg-compiled shapes evict
     synth.max_programs = args.max_programs or None
+    # one background warm thread: first the remaining ladder rungs
+    # (pinned as they land), then cold exact shapes as traffic finds them
+    # (evictable).  A single thread serializes all background compiles —
+    # the relay handles one remote compile at a time gracefully.
+    import queue
+
+    cold_q = queue.Queue()
+
+    def _bg_warm():
+        for bkt in buckets:
+            for bs in batch_sizes:
+                if bkt == buckets[-1] and bs in cover_batches:
+                    continue
+                try:
+                    done = synth.precompile(buckets=[bkt], batch_sizes=[bs])
+                    synth.pin_programs(
+                        shapes=[(bb, ff) for _, bb, ff in done])
+                except Exception as e:
+                    print(f"[serve] ladder warm ({bs},{bkt}) failed: {e}",
+                          flush=True)
+        print(f"[serve] full ladder warm ({time.time() - t0:.1f}s): "
+              f"{sorted(synth._warm_shapes)}", flush=True)
+        while True:
+            shape = cold_q.get()
+            try:
+                print(f"[serve] background-compiling cold shape {shape}")
+                synth.aot_compile(*shape)
+                print(f"[serve] shape {shape} now warm")
+            except Exception as e:
+                print(f"[serve] background compile of {shape} "
+                      f"failed: {e}")
+
+    threading.Thread(target=_bg_warm, daemon=True).start()
     if args.bg_compile:
         # exact-shape compiles happen OFF the serving path (lower+compile,
         # no execution — populates the persistent compile cache); once
         # done the shape is marked warm and later requests use it
-        import queue
-
-        cold_q = queue.Queue()
         seen = set()
-
-        def _bg_compile():
-            while True:
-                shape = cold_q.get()
-                try:
-                    print(f"[serve] background-compiling cold shape {shape}")
-                    synth.aot_compile(*shape)
-                    print(f"[serve] shape {shape} now warm")
-                except Exception as e:
-                    print(f"[serve] background compile of {shape} "
-                          f"failed: {e}")
-
-        threading.Thread(target=_bg_compile, daemon=True).start()
 
         def _on_cold(shape):
             if shape not in seen:
@@ -748,7 +808,8 @@ def main():
     server = make_server(args.host, args.port, handler)
     if args.rss_limit_mb > 0:
         RssRecycler(server, state, limit_mb=args.rss_limit_mb,
-                    drain_timeout_s=args.drain_timeout).start()
+                    drain_timeout_s=args.drain_timeout,
+                    min_uptime_s=args.min_uptime).start()
         print(f"[serve] RSS watchdog armed: limit {args.rss_limit_mb:.0f} "
               f"MB (generation {state.generation})")
     print(f"serving on http://{args.host}:{args.port}  "

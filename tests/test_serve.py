@@ -345,6 +345,7 @@ def test_rss_recycler_drains_inflight_before_exec(synth):
 
     rec = RssRecycler(server, state, limit_mb=1.0,  # any real RSS breaches
                       check_interval_s=0.05, drain_timeout_s=30.0,
+                      min_uptime_s=0.0, arm_guard=False,
                       exec_fn=fake_exec)
     results = {}
 
@@ -370,6 +371,52 @@ def test_rss_recycler_drains_inflight_before_exec(synth):
     assert execd.wait(timeout=30)
     assert seen["inflight_at_exec"] == 0
     assert seen["socket_open"]
+
+
+def test_rss_recycler_arm_guard_and_min_uptime(synth):
+    """A limit at/below the warm RSS floor is raised (floor+headroom) at
+    arm time — no recycle loop with zero serving — and a genuine later
+    breach still recycles, but never inside min_uptime_s of arming."""
+    import time
+
+    from serve import RssRecycler, ServeState
+
+    class FakeServer:
+        def shutdown(self):
+            pass
+
+    rss = {"mb": 3000.0}
+    execd = threading.Event()
+    rec = RssRecycler(FakeServer(), ServeState(), limit_mb=2000.0,
+                      check_interval_s=0.02, min_uptime_s=0.3,
+                      headroom_mb=500.0,
+                      exec_fn=lambda srv: execd.set(),
+                      rss_fn=lambda: rss["mb"])
+    rec.start()
+    # arm guard: effective limit raised to 3000+500
+    assert rec.limit_mb == 3500.0
+    # breach the effective limit immediately: min-uptime must hold it
+    rss["mb"] = 4000.0
+    assert not execd.wait(timeout=0.15), "recycled before min_uptime_s"
+    assert execd.wait(timeout=2.0), "never recycled after min_uptime_s"
+    assert time.time() - rec._armed_at >= 0.3
+
+
+def test_pin_programs_by_shape(synth):
+    """pin_programs(shapes=...) pins exactly those (bucket, frames)
+    programs — the background ladder warm uses it so concurrently
+    bg-compiled cold shapes stay evictable."""
+    try:
+        fa, fb = 96, 192  # frame levels no other test compiles
+        synth._get_fused(16, fa)
+        synth._get_fused(16, fb)
+        synth.pin_programs(shapes=[(16, fa)])
+        key_a = ("fused", synth.vocoder_mode, synth.transfer, 16, fa)
+        key_b = ("fused", synth.vocoder_mode, synth.transfer, 16, fb)
+        assert key_a in synth._pinned_programs
+        assert key_b not in synth._pinned_programs
+    finally:
+        synth._pinned_programs = set()
 
 
 def test_make_server_adopts_inherited_fd(synth):
