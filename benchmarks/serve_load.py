@@ -92,25 +92,49 @@ def run_soak(args, synth, server):
         except Exception:
             return float("nan"), -1  # mid-recycle: server re-warming
 
-    records = []  # (t, latency_s, voice_s, kind, level, ok)
+    records = []  # (t, latency_s, voice_s, kind, level, ok, sheds)
     rec_lock = threading.Lock()
     rss_samples = [(0.0,) + _server_stat()]
 
     def one_request(kind, url, rng):
+        """One logical request, as a production client behaves: a 503 +
+        Retry-After (queue shed, breaker open, or a worker recycle's
+        warm-up window) is honored — wait, retry — rather than counted
+        as a hard error.  ``sheds`` counts the 503s absorbed; latency is
+        end-to-end including the retry waits, so recycle windows show up
+        honestly in the percentiles."""
+        import urllib.error
+
         if args.n_speakers > 1 and rng.random() < 0.2:
             url += f"&speaker={rng.randrange(args.n_speakers)}"
             kind += "+spk"
         lvl = level_now()
         t0 = time.time()
-        try:
-            with urllib.request.urlopen(url, timeout=120) as r:
-                nbytes = len(r.read())
-            ok, voice = True, max(0, nbytes - 44) / 2 / 22050.0
-        except Exception:
-            ok, voice = False, 0.0
+        deadline = min(t0 + 600.0, t_end + 120.0)
+        sheds = 0
+        while True:
+            try:
+                with urllib.request.urlopen(url, timeout=120) as r:
+                    nbytes = len(r.read())
+                ok, voice = True, max(0, nbytes - 44) / 2 / 22050.0
+                break
+            except urllib.error.HTTPError as e:
+                if e.code == 503 and time.time() < deadline:
+                    sheds += 1
+                    try:
+                        wait = float(e.headers.get("Retry-After", "5"))
+                    except (TypeError, ValueError):
+                        wait = 5.0
+                    time.sleep(min(max(wait, 1.0), 15.0))
+                    continue
+                ok, voice = False, 0.0
+                break
+            except Exception:
+                ok, voice = False, 0.0
+                break
         with rec_lock:
             records.append((time.time() - t_start, time.time() - t0,
-                            voice, kind, lvl, ok))
+                            voice, kind, lvl, ok, sheds))
 
     def client(ci):
         rng = random.Random(ci)
@@ -151,9 +175,15 @@ def run_soak(args, synth, server):
     errs = [r for r in records if not r[5]]
     lat = np.array([r[1] for r in oks]) * 1e3
     served = sum(r[2] for r in oks)
+    shed_total = sum(r[6] for r in records)
+    shed_reqs = sum(1 for r in records if r[6])
     print(f"\nsoak: {wall / 60:.1f} min, {len(records)} requests "
           f"({len(errs)} errors, {len(errs) / max(1, len(records)):.2%}), "
           f"ramp {levels}", flush=True)
+    print(f"503 sheds absorbed: {shed_total} across {shed_reqs} requests "
+          f"({shed_reqs / max(1, len(records)):.2%} of requests saw a "
+          f"shed; all retried to completion unless counted as errors)",
+          flush=True)
     print(f"overall: served {served:.0f}s audio -> served RTF "
           f"{served / wall:.1f}; latency p50 {np.percentile(lat, 50):.0f} "
           f"p90 {np.percentile(lat, 90):.0f} "

@@ -154,6 +154,11 @@ class ServeState:
     def __init__(self, generation: int = 0):
         self.generation = generation
         self.draining = False
+        # ready=False (set by main() during warm-up) sheds /tts with a
+        # fast 503 + Retry-After instead of parking clients in the
+        # kernel backlog past their timeouts — the "brief 503 window"
+        # a recycle shows clients
+        self.ready = True
         self._inflight = 0
         self._lock = threading.Lock()
         self._idle = threading.Condition(self._lock)
@@ -250,6 +255,7 @@ class RssRecycler:
                  min_uptime_s: float = 120.0,
                  headroom_mb: float = 512.0,
                  arm_guard: bool = True,
+                 compile_lock=None,
                  exec_fn=None, rss_fn=None):
         self.server = server
         self.state = state
@@ -259,6 +265,7 @@ class RssRecycler:
         self.min_uptime_s = min_uptime_s
         self.headroom_mb = headroom_mb
         self.arm_guard = arm_guard
+        self.compile_lock = compile_lock
         self.exec_fn = exec_fn or reexec_with_socket
         self.rss_fn = rss_fn or rss_mb
         self.recycling = False
@@ -304,6 +311,17 @@ class RssRecycler:
         drained = self.state.wait_idle(self.drain_timeout_s)
         print(f"[serve] drained={drained} inflight={self.state.inflight}; "
               f"re-exec", flush=True)
+        if self.compile_lock is not None:
+            # quiesce the background compile thread: exec'ing mid-remote-
+            # compile kills the compile HTTP request and can wedge the
+            # tunneled relay for 10-30 min (measured) — wait for the
+            # in-flight compile (the thread starts no new one while
+            # draining).  Not released: we exec immediately after.
+            t0 = time.time()
+            got = self.compile_lock.acquire(timeout=600.0)
+            print(f"[serve] bg-compile quiesce "
+                  f"{'ok' if got else 'TIMED OUT'} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
         self.exec_fn(self.server)
 
 
@@ -481,6 +499,7 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None,
                     "generation": state.generation,
                     "rss_mb": round(rss_mb(), 1),
                     "inflight": state.inflight,
+                    "ready": state.ready,
                     "draining": state.draining}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
@@ -489,6 +508,9 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None,
                 self.wfile.write(body)
                 return
             if parsed.path == "/healthz":
+                if not state.ready:
+                    self._unavailable("warming", 15)
+                    return
                 body = b"ok"
                 self.send_response(200)
                 self.send_header("Content-Length", str(len(body)))
@@ -524,6 +546,11 @@ def make_handler(synth, lock=None, stream_segment_phonemes=None,
             except ValueError:
                 speaker = -1
             speaker = speaker if speaker >= 0 else None
+            if not state.ready:
+                # warm-up / post-recycle re-warm: shed fast with a retry
+                # hint instead of blocking on the synth lock for minutes
+                self._unavailable("warming up (worker recycle)", 30)
+                return
             if breaker.is_open():
                 # device wedged moments ago: shed immediately instead of
                 # stacking watchdog waits on the FIFO relay
@@ -717,19 +744,24 @@ def main():
         dtype=jnp.bfloat16, transfer=args.transfer,
         bench_duration_bias=None if args.checkpoint else 6.0,
         model_overrides=arch_overrides(args))
-    print("warming up ...")
-    synth.warmup(args.warmup_text, iters=2)
-    # Coverage-first warm-up: one LARGEST-bucket program per batch
-    # extreme — batch 1 (the single-stream router only matches batch-1
-    # programs) and the max batch (covers every fused batch shape) —
-    # covers EVERY request shape via warm_only routing, so the server is
-    # ready after ~2 compiles (~1 min post-recycle from the compile
-    # cache) instead of the full bucket×batch ladder (~6 min on tunneled
-    # TPUs).  The remaining ladder rungs (tighter shapes = less wasted
-    # compute per request) warm in the background while serving; a cold
-    # remote compile never happens inline — an unseen shape is served by
-    # the next-larger warm program (numerically identical; the extra
-    # buffer tail never crosses the link).
+    # the server accepts IMMEDIATELY: until state.ready flips, /tts and
+    # /healthz answer a fast 503 + Retry-After (the "brief 503 window"
+    # clients see across a worker recycle) instead of parking
+    # connections in the kernel backlog past their timeouts — on this
+    # rig a fresh process's first device dispatch costs minutes
+    state = ServeState(generation=int(os.environ.get("SERVE_GENERATION",
+                                                     "0")))
+    state.ready = False
+    handler = make_handler(
+        synth, stream_segment_phonemes=args.stream_segment_phonemes,
+        dynamic_batch=args.dynamic_batch,
+        batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+        fetch_timeout_s=args.fetch_timeout or None,
+        queue_deadline_s=args.queue_deadline or None,
+        breaker_cooldown_s=args.breaker_cooldown, state=state)
+    server = make_server(args.host, args.port, handler)
+    compile_lock = threading.Lock()
+
     buckets = sorted(int(x) for x in args.precompile_buckets.split(",")
                      if x)
     batch_sizes = [1]
@@ -739,54 +771,11 @@ def main():
             batch_sizes.append(b)
             b *= 2
     cover_batches = sorted({batch_sizes[0], batch_sizes[-1]})
-    print(f"precompiling coverage shapes (bucket {buckets[-1]} x "
-          f"batches {cover_batches}); ladder of {len(buckets)} buckets x "
-          f"{len(batch_sizes)} batch sizes follows in background ...")
-    t0 = time.time()
-    shapes = synth.precompile(buckets=buckets[-1:],
-                              batch_sizes=cover_batches)
-    print(f"coverage shapes ready ({time.time() - t0:.1f}s): {shapes}",
-          flush=True)
-    synth.warm_only = True
-    synth.pin_programs()  # coverage stays; only bg-compiled shapes evict
-    synth.max_programs = args.max_programs or None
-    # one background warm thread: first the remaining ladder rungs
-    # (pinned as they land), then cold exact shapes as traffic finds them
-    # (evictable).  A single thread serializes all background compiles —
-    # the relay handles one remote compile at a time gracefully.
+
     import queue
 
     cold_q = queue.Queue()
-
-    def _bg_warm():
-        for bkt in buckets:
-            for bs in batch_sizes:
-                if bkt == buckets[-1] and bs in cover_batches:
-                    continue
-                try:
-                    done = synth.precompile(buckets=[bkt], batch_sizes=[bs])
-                    synth.pin_programs(
-                        shapes=[(bb, ff) for _, bb, ff in done])
-                except Exception as e:
-                    print(f"[serve] ladder warm ({bs},{bkt}) failed: {e}",
-                          flush=True)
-        print(f"[serve] full ladder warm ({time.time() - t0:.1f}s): "
-              f"{sorted(synth._warm_shapes)}", flush=True)
-        while True:
-            shape = cold_q.get()
-            try:
-                print(f"[serve] background-compiling cold shape {shape}")
-                synth.aot_compile(*shape)
-                print(f"[serve] shape {shape} now warm")
-            except Exception as e:
-                print(f"[serve] background compile of {shape} "
-                      f"failed: {e}")
-
-    threading.Thread(target=_bg_warm, daemon=True).start()
     if args.bg_compile:
-        # exact-shape compiles happen OFF the serving path (lower+compile,
-        # no execution — populates the persistent compile cache); once
-        # done the shape is marked warm and later requests use it
         seen = set()
 
         def _on_cold(shape):
@@ -796,25 +785,87 @@ def main():
 
         synth.on_cold_shape = _on_cold
 
-    state = ServeState(generation=int(os.environ.get("SERVE_GENERATION",
-                                                     "0")))
-    handler = make_handler(
-        synth, stream_segment_phonemes=args.stream_segment_phonemes,
-        dynamic_batch=args.dynamic_batch,
-        batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
-        fetch_timeout_s=args.fetch_timeout or None,
-        queue_deadline_s=args.queue_deadline or None,
-        breaker_cooldown_s=args.breaker_cooldown, state=state)
-    server = make_server(args.host, args.port, handler)
-    if args.rss_limit_mb > 0:
-        RssRecycler(server, state, limit_mb=args.rss_limit_mb,
-                    drain_timeout_s=args.drain_timeout,
-                    min_uptime_s=args.min_uptime).start()
-        print(f"[serve] RSS watchdog armed: limit {args.rss_limit_mb:.0f} "
-              f"MB (generation {state.generation})")
+    def _init_and_warm():
+        """One background thread owns every device compile, in order:
+        warmup execution → coverage shapes → ready → remaining ladder
+        rungs (pinned) → cold exact shapes as traffic finds them
+        (evictable, bg_compile).  Single-threaded = serialized remote
+        compiles; each takes compile_lock so a recycle never exec's
+        mid-compile (which wedges the tunneled relay)."""
+        print("warming up ...", flush=True)
+        _tw = time.time()
+        seq = synth.phonemize(args.warmup_text)
+        for _it in range(2):
+            _ti = time.time()
+            with compile_lock:
+                synth.synthesize_ids(seq)
+            print(f"[serve] warmup iter {_it} {time.time() - _ti:.1f}s",
+                  flush=True)
+        # Coverage-first warm-up: one LARGEST-bucket program per batch
+        # extreme — batch 1 (the single-stream router only matches
+        # batch-1 programs) and the max batch (covers every fused batch
+        # shape) — covers EVERY request shape via warm_only routing, so
+        # the server is ready after ~2 compiles instead of the full
+        # bucket×batch ladder.  The remaining rungs (tighter shapes =
+        # less wasted compute per request) warm while serving; a cold
+        # remote compile never happens inline — an unseen shape is
+        # served by the next-larger warm program (numerically identical;
+        # the extra buffer tail never crosses the link).
+        t0 = time.time()
+        with compile_lock:
+            shapes = synth.precompile(buckets=buckets[-1:],
+                                      batch_sizes=cover_batches)
+        print(f"coverage shapes ready ({time.time() - t0:.1f}s): "
+              f"{shapes}", flush=True)
+        synth.warm_only = True
+        synth.pin_programs()  # coverage stays; bg-compiled shapes evict
+        synth.max_programs = args.max_programs or None
+        state.ready = True
+        print(f"[serve] ready: 503 window closed "
+              f"(generation {state.generation})", flush=True)
+        if args.rss_limit_mb > 0:
+            RssRecycler(server, state, limit_mb=args.rss_limit_mb,
+                        drain_timeout_s=args.drain_timeout,
+                        min_uptime_s=args.min_uptime,
+                        compile_lock=compile_lock).start()
+            print(f"[serve] RSS watchdog armed: limit "
+                  f"{args.rss_limit_mb:.0f} MB "
+                  f"(generation {state.generation})", flush=True)
+        for bkt in buckets:
+            for bs in batch_sizes:
+                if bkt == buckets[-1] and bs in cover_batches:
+                    continue
+                if state.draining:
+                    return  # recycle imminent: start no new compile
+                try:
+                    with compile_lock:
+                        done = synth.precompile(buckets=[bkt],
+                                                batch_sizes=[bs])
+                    synth.pin_programs(
+                        shapes=[(bb, ff) for _, bb, ff in done])
+                except Exception as e:
+                    print(f"[serve] ladder warm ({bs},{bkt}) failed: "
+                          f"{e}", flush=True)
+        print(f"[serve] full ladder warm ({time.time() - t0:.1f}s): "
+              f"{sorted(synth._warm_shapes)}", flush=True)
+        while True:
+            shape = cold_q.get()
+            if state.draining:
+                return
+            try:
+                print(f"[serve] background-compiling cold shape {shape}")
+                with compile_lock:
+                    synth.aot_compile(*shape)
+                print(f"[serve] shape {shape} now warm")
+            except Exception as e:
+                print(f"[serve] background compile of {shape} "
+                      f"failed: {e}")
+
+    threading.Thread(target=_init_and_warm, daemon=True).start()
     print(f"serving on http://{args.host}:{args.port}  "
           f"(UI at /, /tts?text=..., /tts_stream?text=..., /healthz, "
-          f"/statusz)  generation {state.generation}")
+          f"/statusz)  generation {state.generation} — 503 until warm",
+          flush=True)
     server.serve_forever()
     # serve_forever returns when a recycle's shutdown() fires; the
     # RssRecycler thread drains in-flight requests and re-execs.  Keep

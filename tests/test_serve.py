@@ -402,6 +402,65 @@ def test_rss_recycler_arm_guard_and_min_uptime(synth):
     assert time.time() - rec._armed_at >= 0.3
 
 
+def test_warmup_window_sheds_503_until_ready(synth):
+    """While state.ready is False (startup or a recycle's re-warm), /tts
+    and /healthz answer a fast 503 + Retry-After instead of blocking on
+    the synth lock; flipping ready restores normal service."""
+    import urllib.error
+
+    from serve import make_handler, ServeState
+
+    state = ServeState()
+    state.ready = False
+    server, port = _start(make_handler(synth, state=state))
+    try:
+        for path in ("/tts?text=hello", "/healthz"):
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}", timeout=30)
+                assert False, f"{path} served while not ready"
+            except urllib.error.HTTPError as e:
+                assert e.code == 503
+                assert float(e.headers["Retry-After"]) > 0
+        # statusz stays live mid-warmup (the soak monitor reads it)
+        import json
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/statusz", timeout=30) as r:
+            assert json.loads(r.read())["ready"] is False
+        state.ready = True
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/tts?text=hello", timeout=60) as r:
+            assert r.read()[:4] == b"RIFF"
+    finally:
+        server.shutdown()
+
+
+def test_recycle_waits_for_inflight_compile(synth):
+    """A recycle must not exec while the background warm thread holds
+    the compile lock — exec'ing mid-remote-compile wedges the relay."""
+    import time
+
+    from serve import RssRecycler, ServeState
+
+    class FakeServer:
+        def shutdown(self):
+            pass
+
+    compile_lock = threading.Lock()
+    execd = threading.Event()
+    rec = RssRecycler(FakeServer(), ServeState(), limit_mb=1.0,
+                      check_interval_s=0.02, min_uptime_s=0.0,
+                      arm_guard=False, compile_lock=compile_lock,
+                      exec_fn=lambda srv: execd.set(),
+                      rss_fn=lambda: 100.0)
+    compile_lock.acquire()  # a remote compile is in flight
+    rec.start()
+    assert not execd.wait(timeout=0.5), "exec fired mid-compile"
+    compile_lock.release()  # compile finishes
+    assert execd.wait(timeout=5.0)
+
+
 def test_pin_programs_by_shape(synth):
     """pin_programs(shapes=...) pins exactly those (bucket, frames)
     programs — the background ladder warm uses it so concurrently
