@@ -148,12 +148,17 @@ _EXTRA_TSV = os.path.join(os.path.dirname(__file__), "data",
                           "g2p_train_extra.tsv")
 
 
-def load_gold(include_blind123: bool = True) -> Dict[str, List[str]]:
+def load_gold(include_blind123: bool = True,
+              include_blind4: bool = False) -> Dict[str, List[str]]:
     """Gold pairs: authored extra training lexicon (lowest priority;
     text/data/g2p_train_extra.tsv, ~2.2k entries, 96% agreement with
     the trusted sets on their 549-word overlap) + builtin lexicon +
-    dev + (optionally) blind1-3.  Later sources override earlier ones,
-    so the long-vetted lexicon/dev/blind prons win every conflict."""
+    dev + (optionally) blind1-3 + (optionally) blind4.  Later sources
+    override earlier ones, so the long-vetted lexicon/dev/blind prons
+    win every conflict.  include_blind4 is only legitimate once a
+    LATER blind set gates the resulting model (blind4 was the round-5
+    calibration set; with blind6 frozen, blind5 calibrates and blind4
+    may train — excluded_words() enforces the frontier)."""
     from efficientspeech_tpu.text.builtin_lexicon import get_builtin_lexicon
     from efficientspeech_tpu.text.g2p_eval import load_eval_lexicon
 
@@ -166,6 +171,8 @@ def load_gold(include_blind123: bool = True) -> Dict[str, List[str]]:
     names = ["g2p_dev.tsv"]
     if include_blind123:
         names += ["g2p_blind.tsv", "g2p_blind2.tsv", "g2p_blind3.tsv"]
+    if include_blind4:
+        names += ["g2p_blind4.tsv"]
     for name in names:
         for w, ph in load_eval_lexicon(
                 os.path.join(_TESTS_DATA, name)).items():
@@ -175,25 +182,29 @@ def load_gold(include_blind123: bool = True) -> Dict[str, List[str]]:
 
 
 def excluded_words() -> set:
-    """Words that must NEVER appear in training data: the validation
-    set (blind4) and the current gate set (blind5)."""
+    """Words that must NEVER appear in training data: the calibration
+    set (blind5, burned for tuning but still never trained on) and the
+    current gate set (blind6).  Blind4 left this list when blind6 was
+    frozen: it was the round-5 calibration set and may now train, with
+    blind5 calibrating and blind6 gating."""
     from efficientspeech_tpu.text.g2p_eval import load_eval_lexicon
 
     out = set()
-    for name in ("g2p_blind4.tsv", "g2p_blind5.tsv"):
+    for name in ("g2p_blind5.tsv", "g2p_blind6.tsv"):
         out |= set(load_eval_lexicon(os.path.join(_TESTS_DATA, name)))
     return out
 
 
 def build_pairs(gold_repeat: int = 3, n_compounds: int = 8000,
-                n_prefixed: int = 6000, seed: int = 0
+                n_prefixed: int = 6000, seed: int = 0,
+                include_blind4: bool = False
                 ) -> List[Tuple[str, List[str], bool]]:
     """(word, pron, is_gold) list: gold (repeated gold_repeat×) +
     deterministic inflections + sampled prefixed forms + sampled
     synthetic compounds, all excluded-word-filtered and deduped
     (gold wins over augmented)."""
     rng = np.random.default_rng(seed)
-    gold = load_gold()
+    gold = load_gold(include_blind4=include_blind4)
     excl = excluded_words()
 
     pairs: Dict[str, Tuple[List[str], bool]] = {}

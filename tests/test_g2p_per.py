@@ -81,6 +81,7 @@ BLIND2 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind2.tsv")
 BLIND3 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind3.tsv")
 BLIND4 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind4.tsv")
 BLIND5 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind5.tsv")
+BLIND6 = os.path.join(os.path.dirname(__file__), "data", "g2p_blind6.tsv")
 
 
 def test_edit_distance():
@@ -132,14 +133,15 @@ def test_blind_set_is_disjoint():
     blind3 = load_eval_lexicon(BLIND3)
     blind4 = load_eval_lexicon(BLIND4)
     blind5 = load_eval_lexicon(BLIND5)
+    blind6 = load_eval_lexicon(BLIND6)
     assert len(blind) >= 500 and len(blind2) >= 500 \
         and len(blind3) >= 500 and len(blind4) >= 500 \
-        and len(blind5) >= 500
+        and len(blind5) >= 500 and len(blind6) >= 500
     dev = load_eval_lexicon(EVAL)
     lex = get_builtin_lexicon()
     sets = [("blind1", set(blind)), ("blind2", set(blind2)),
             ("blind3", set(blind3)), ("blind4", set(blind4)),
-            ("blind5", set(blind5))]
+            ("blind5", set(blind5)), ("blind6", set(blind6))]
     for name, s_ in sets:
         assert not s_ & set(dev), (name, sorted(s_ & set(dev))[:10])
         assert not s_ & set(lex), (name, sorted(s_ & set(lex))[:10])
