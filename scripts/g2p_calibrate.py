@@ -1,14 +1,15 @@
 #!/usr/bin/env python3
-"""Calibrate the neural-G2P routing threshold on the burned blind4 set.
+"""Calibrate the neural-G2P routing threshold on a burned blind set.
 
 The front door (text/g2p.py) routes an OOV word to the neural model
 when the decode confidence (mean per-token log-prob) clears a
 threshold, else falls back to the rule L2S.  This sweeps the threshold
 over the observed confidence range and picks the one maximizing FRONT
-DOOR word accuracy on blind4 (the sanctioned model-selection set —
-NEVER blind5), then stores it in the primary checkpoint's npz meta
-(``route_threshold``, plus the ``beam`` width used), which
-text/neural_g2p.py reads at load.
+DOOR word accuracy on the calibration set (round-5 initial: blind4;
+after blind6 froze: blind5 — NEVER the current gate set, which this
+script refuses mechanically), then stores it in the primary
+checkpoint's npz meta (``route_threshold``, plus the ``beam`` width
+used), which text/neural_g2p.py reads at load.
 
     python scripts/g2p_calibrate.py [--npz PATH] [--beam 4] [--write]
 """
@@ -48,6 +49,20 @@ def main():
     ap.add_argument("--write", action="store_true",
                     help="store the winning threshold in the npz meta")
     args = ap.parse_args()
+
+    # mechanical guard: never calibrate against the current gate set
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "g2p_measure", os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "g2p_measure.py"))
+    gm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gm)
+    cur = gm.current_blind_set()
+    if os.path.basename(args.eval_set) == cur:
+        raise SystemExit(
+            f"REFUSED: {cur} is the CURRENT blind gate set — calibrating "
+            "against it burns it.  Author the next blind set first.")
 
     from efficientspeech_tpu.text.g2p import G2p
     from efficientspeech_tpu.text.g2p_eval import (

@@ -36,8 +36,14 @@ def get_args():
     ap.add_argument("--n-prefixed", type=int, default=6000)
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--eval-set", default="tests/data/g2p_blind4.tsv",
-                    help="validation lexicon (blind4 = the burned "
-                         "model-selection set; NEVER blind5)")
+                    help="validation lexicon (round-5 initial training "
+                         "used blind4; once blind6 froze, blind5 is the "
+                         "calibration set and blind4 may train via "
+                         "--include-blind4; NEVER the current gate set)")
+    ap.add_argument("--include-blind4", action="store_true",
+                    help="fold blind4 into the gold training pairs "
+                         "(legitimate only with blind5 as --eval-set "
+                         "and blind6 frozen as the gate)")
     ap.add_argument("--out", default="efficientspeech_tpu/text/data/"
                                      "neural_g2p_en.npz")
     ap.add_argument("--log", default=None, help="metrics jsonl path")
@@ -88,7 +94,8 @@ def main():
 
     pairs = D.build_pairs(gold_repeat=args.gold_repeat,
                           n_compounds=args.n_compounds,
-                          n_prefixed=args.n_prefixed, seed=args.seed)
+                          n_prefixed=args.n_prefixed, seed=args.seed,
+                          include_blind4=args.include_blind4)
     src, tgt = D.encode_pairs(pairs)
     n = len(src)
     print(f"training pairs: {n} rows "
