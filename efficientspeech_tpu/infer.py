@@ -142,6 +142,10 @@ class Synthesizer:
         # jax.device_get (inject hangs without a wedged device).
         self.fetch_timeout_s = None
         self._fetch_fn = None
+        # live device transfers incl. watchdog-abandoned ones (see
+        # pending_fetches)
+        self._live_fetches = 0
+        self._fetch_lock = threading.Lock()
         # serving hook: called with the requested (batch, bucket, frames)
         # whenever warm_only routing substitutes a different warm shape —
         # lets the server compile the exact shape in the background
@@ -456,10 +460,21 @@ class Synthesizer:
         box = {}
 
         def run():
+            # the live-fetch counter outlives the caller: a watchdog-
+            # abandoned fetch thread stays parked INSIDE the relay call
+            # after the request 503s, and a worker recycle that exec's
+            # while such a transfer is in flight kills it mid-round and
+            # wedges the relay for 10-30 min (measured, round-5 soak).
+            # pending_fetches() lets the recycler wait these out.
+            with self._fetch_lock:
+                self._live_fetches += 1
             try:
                 box["out"] = fetch(tree)
             except BaseException as e:  # surfaced to the caller below
                 box["err"] = e
+            finally:
+                with self._fetch_lock:
+                    self._live_fetches -= 1
 
         t = threading.Thread(target=run, daemon=True)
         t.start()
@@ -471,6 +486,13 @@ class Synthesizer:
         if "err" in box:
             raise box["err"]
         return box["out"]
+
+    def pending_fetches(self) -> int:
+        """Device fetches currently in flight, INCLUDING watchdog-
+        abandoned ones whose threads are still parked on the transfer.
+        The serving recycler waits for zero before re-exec'ing."""
+        with self._fetch_lock:
+            return self._live_fetches
 
     def _fetch_single_pcm(self, parts, mel_len_arr, n_valid: int,
                           out_frames: int):

@@ -255,7 +255,7 @@ class RssRecycler:
                  min_uptime_s: float = 120.0,
                  headroom_mb: float = 512.0,
                  arm_guard: bool = True,
-                 compile_lock=None,
+                 compile_lock=None, synth=None,
                  exec_fn=None, rss_fn=None):
         self.server = server
         self.state = state
@@ -266,6 +266,7 @@ class RssRecycler:
         self.headroom_mb = headroom_mb
         self.arm_guard = arm_guard
         self.compile_lock = compile_lock
+        self.synth = synth
         self.exec_fn = exec_fn or reexec_with_socket
         self.rss_fn = rss_fn or rss_mb
         self.recycling = False
@@ -321,6 +322,20 @@ class RssRecycler:
             got = self.compile_lock.acquire(timeout=600.0)
             print(f"[serve] bg-compile quiesce "
                   f"{'ok' if got else 'TIMED OUT'} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+        if self.synth is not None:
+            # watchdog-abandoned fetches outlive their (503'd, drained)
+            # requests with a thread still parked inside the relay call;
+            # exec'ing kills that transfer mid-round and wedges the relay
+            # (round-5 soak: one such recycle cost a 776 s re-warm).
+            # Wait them out, bounded: if one never drains the relay is
+            # already wedged and exec'ing can't make it worse.
+            t0 = time.time()
+            while (n := self.synth.pending_fetches()) > 0 \
+                    and time.time() - t0 < 300.0:
+                time.sleep(0.5)
+            print(f"[serve] fetch quiesce "
+                  f"{'ok' if n == 0 else f'TIMED OUT ({n} live)'} "
                   f"({time.time() - t0:.1f}s)", flush=True)
         self.exec_fn(self.server)
 
@@ -827,7 +842,7 @@ def main():
             RssRecycler(server, state, limit_mb=args.rss_limit_mb,
                         drain_timeout_s=args.drain_timeout,
                         min_uptime_s=args.min_uptime,
-                        compile_lock=compile_lock).start()
+                        compile_lock=compile_lock, synth=synth).start()
             print(f"[serve] RSS watchdog armed: limit "
                   f"{args.rss_limit_mb:.0f} MB "
                   f"(generation {state.generation})", flush=True)

@@ -461,6 +461,46 @@ def test_recycle_waits_for_inflight_compile(synth):
     assert execd.wait(timeout=5.0)
 
 
+def test_recycle_waits_for_abandoned_fetch(synth):
+    """A watchdog-abandoned fetch (503'd request, thread still parked in
+    the relay call) must hold the recycle's exec until the transfer
+    drains — exec'ing mid-transfer wedges the relay."""
+    import time
+
+    from serve import RssRecycler, ServeState
+
+    class FakeServer:
+        def shutdown(self):
+            pass
+
+    # a real hung fetch through the Synthesizer watchdog: the counter
+    # must stay 1 after SynthesisTimeout until the fetch unblocks
+    from efficientspeech_tpu.infer import SynthesisTimeout
+
+    release = threading.Event()
+    old_fn, old_to = synth._fetch_fn, synth.fetch_timeout_s
+    synth._fetch_fn = lambda tree: (release.wait(30), tree)[1]
+    synth.fetch_timeout_s = 0.1
+    try:
+        with pytest.raises(SynthesisTimeout):
+            synth._device_get({"x": 1})
+        assert synth.pending_fetches() == 1
+        execd = threading.Event()
+        rec = RssRecycler(FakeServer(), ServeState(), limit_mb=1.0,
+                          check_interval_s=0.02, min_uptime_s=0.0,
+                          arm_guard=False, synth=synth,
+                          exec_fn=lambda srv: execd.set(),
+                          rss_fn=lambda: 100.0)
+        rec.start()
+        assert not execd.wait(timeout=1.0), "exec fired mid-transfer"
+        release.set()  # the parked transfer completes
+        assert execd.wait(timeout=10.0)
+        assert synth.pending_fetches() == 0
+    finally:
+        synth._fetch_fn, synth.fetch_timeout_s = old_fn, old_to
+        release.set()
+
+
 def test_pin_programs_by_shape(synth):
     """pin_programs(shapes=...) pins exactly those (bucket, frames)
     programs — the background ladder warm uses it so concurrently
