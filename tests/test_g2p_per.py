@@ -47,22 +47,26 @@ and the next one is authored fresh):
   61.15% / 10.90%).  Blind1–3 additionally became neural TRAINING
   data in round 5 (their retention is now ~95–99%).
 
-- tests/data/g2p_blind5.tsv (596 entries) — the CURRENT blind
-  generalization set, authored and frozen (commit e0b2581) BEFORE the
-  neural G2P existed, mechanically disjoint from the lexicon, the dev
-  set, the neural training data, and blind sets #1–#4, and measured
-  ONCE (2026-08-20, ledger-recorded).  The honest OOV numbers:
-    front door  PER 0.0755 / word accuracy 0.7114 (stress-insensitive)
-                PER 0.0956 / word accuracy 0.6879 (stress-SENSITIVE)
-    neural only PER 0.0701 / word accuracy 0.7433 (stress-insensitive)
-    rules alone PER 0.1419 / word accuracy 0.4581 (stress-insensitive)
-  This clears the round-4 VERDICT gate (≥60% word-acc / PER ≤10%) and
-  matches the reference's neural g2p_en ballpark (~70%+).  The
-  blind4-calibrated routing threshold costs ~3 pts vs neural-only on
-  this set; retuning it against blind5 would burn the set, so the
-  routing stays as calibrated on blind4.  Failures on THIS set MUST
-  NOT drive any tuning; doing so requires authoring blind set #6 and
-  re-measuring.
+- tests/data/g2p_blind5.tsv (596 entries) — authored and frozen
+  (commit e0b2581) BEFORE the neural G2P existed and measured ONCE
+  clean (2026-08-20, ledger-recorded): front door 71.14% / PER 7.55
+  (stress-sensitive 68.79% / 9.56), neural-only 74.33% / 7.01,
+  rules-only 45.81% / 14.19 — clearing the round-4 VERDICT gate
+  (≥60% / ≤10%).  After blind6 froze it became the CALIBRATION set
+  for the round-5 second cycle (routing threshold sweep → fully open,
+  neural-first reorder, ensemble reselection, blind4-in-training),
+  so it is a TUNED-ON set now.  Post-tuning: 74.16% / PER 6.52
+  (stress 70.97% / 8.35).  It still never enters training data
+  (excluded_words()).
+
+- tests/data/g2p_blind6.tsv (566 entries) — the CURRENT blind
+  generalization set (commit fc442b7), authored from CMUdict
+  conventions without running the G2P, mechanically disjoint from the
+  lexicon, dev, blind1–5, the gold training TSVs, and all augmented
+  training forms.  Measured ONCE, sanctioned (see
+  test_front_door_blind6_bound for the numbers).  Failures on THIS
+  set MUST NOT drive any tuning; doing so requires authoring blind
+  set #7 and re-measuring.
 """
 
 import os
@@ -159,11 +163,11 @@ def test_front_door_blind_bound():
     stress-sensitive."""
     blind = load_eval_lexicon(BLIND)
     per, acc, cases = phone_error_rate(G2p(), blind, ignore_stress=True)
-    assert per <= 0.045, f"blind1 PER regressed: {per:.3f}; {cases[:5]}"
-    assert acc >= 0.84, f"blind1 word accuracy regressed: {acc:.3f}"
+    assert per <= 0.01, f"blind1 PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.98, f"blind1 word accuracy regressed: {acc:.3f}"
     per_s, acc_s, _ = phone_error_rate(G2p(), blind, ignore_stress=False)
-    assert per_s <= 0.062, f"blind1 stress PER regressed: {per_s:.3f}"
-    assert acc_s >= 0.80, f"blind1 stress accuracy regressed: {acc_s:.3f}"
+    assert per_s <= 0.015, f"blind1 stress PER regressed: {per_s:.3f}"
+    assert acc_s >= 0.97, f"blind1 stress accuracy regressed: {acc_s:.3f}"
 
 
 def test_rule_g2p_blind_bound():
@@ -183,11 +187,11 @@ def test_front_door_blind2_bound():
     stress-sensitive."""
     blind2 = load_eval_lexicon(BLIND2)
     per, acc, cases = phone_error_rate(G2p(), blind2, ignore_stress=True)
-    assert per <= 0.055, f"blind2 PER regressed: {per:.3f}; {cases[:5]}"
-    assert acc >= 0.77, f"blind2 word accuracy regressed: {acc:.3f}"
+    assert per <= 0.01, f"blind2 PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.98, f"blind2 word accuracy regressed: {acc:.3f}"
     per_s, acc_s, _ = phone_error_rate(G2p(), blind2, ignore_stress=False)
-    assert per_s <= 0.075, f"blind2 stress PER regressed: {per_s:.3f}"
-    assert acc_s >= 0.72, f"blind2 stress accuracy regressed: {acc_s:.3f}"
+    assert per_s <= 0.015, f"blind2 stress PER regressed: {per_s:.3f}"
+    assert acc_s >= 0.97, f"blind2 stress accuracy regressed: {acc_s:.3f}"
 
 
 def test_rule_g2p_blind2_bound():
@@ -205,8 +209,8 @@ def test_front_door_blind3_bound():
     PER 10.40% / acc 57.19% stress-insensitive."""
     blind3 = load_eval_lexicon(BLIND3)
     per, acc, cases = phone_error_rate(G2p(), blind3, ignore_stress=True)
-    assert per <= 0.115, f"blind3 PER regressed: {per:.3f}; {cases[:5]}"
-    assert acc >= 0.55, f"blind3 word accuracy regressed: {acc:.3f}"
+    assert per <= 0.01, f"blind3 PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.98, f"blind3 word accuracy regressed: {acc:.3f}"
 
 
 def test_front_door_blind4_bound():
@@ -217,34 +221,37 @@ def test_front_door_blind4_bound():
     61.15% stress-sensitive."""
     blind4 = load_eval_lexicon(BLIND4)
     per, acc, cases = phone_error_rate(G2p(), blind4, ignore_stress=True)
-    assert per <= 0.10, f"blind4 PER regressed: {per:.3f}; {cases[:5]}"
-    assert acc >= 0.62, f"blind4 word accuracy regressed: {acc:.3f}"
+    assert per <= 0.01, f"blind4 PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.98, f"blind4 word accuracy regressed: {acc:.3f}"
     per_s, acc_s, _ = phone_error_rate(G2p(), blind4, ignore_stress=False)
     assert per_s <= 0.125, f"blind4 stress PER regressed: {per_s:.3f}"
     assert acc_s >= 0.58, f"blind4 stress accuracy regressed: {acc_s:.3f}"
 
 
 def test_front_door_blind5_bound():
-    """BLIND generalization gates on the current blind set (#5),
-    measured once 2026-08-20 (ledger-recorded, sanctioned): front door
-    PER 7.55% / acc 71.14% stress-insensitive, PER 9.56% / acc 68.79%
-    stress-sensitive; enforced with small margin.  This is the honest
-    OOV number — the set was authored and frozen before the neural G2P
-    existed and never drove any tuning.  Clears the round-4 VERDICT
-    gate (>=60% word-acc / PER <=10%); the reference's neural g2p_en
-    fallback is ~70%+ on comparable held-out words."""
+    """Blind-set-#5 gates.  NOTE: tuned-on from the round-5 blind6
+    cycle (it became the calibration set: routing threshold sweep,
+    ensemble selection, the neural-first reorder, and blind4-in-
+    training were all selected on it) — RETENTION gates now, not
+    generalization.  Its sanctioned pre-tuning measurement (2026-08-20,
+    ledger): front door 71.14% / PER 7.55 stress-insensitive.
+    Post-tuning measured: 74.16% / 6.52 (stress 70.97% / 8.35).
+    The honest generalization number lives on blind6."""
     blind5 = load_eval_lexicon(BLIND5)
     per, acc, cases = phone_error_rate(G2p(), blind5, ignore_stress=True)
-    assert per <= 0.09, f"blind5 PER regressed: {per:.3f}; {cases[:5]}"
-    assert acc >= 0.67, f"blind5 word accuracy regressed: {acc:.3f}"
+    assert per <= 0.075, f"blind5 PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.71, f"blind5 word accuracy regressed: {acc:.3f}"
     per_s, acc_s, _ = phone_error_rate(G2p(), blind5, ignore_stress=False)
-    assert per_s <= 0.11, f"blind5 stress PER regressed: {per_s:.3f}"
-    assert acc_s >= 0.64, f"blind5 stress accuracy regressed: {acc_s:.3f}"
+    assert per_s <= 0.095, f"blind5 stress PER regressed: {per_s:.3f}"
+    assert acc_s >= 0.68, f"blind5 stress accuracy regressed: {acc_s:.3f}"
 
 
 def test_neural_g2p_blind5_bound():
-    """Neural-ensemble-only on blind set #5: measured PER 7.01% /
-    acc 74.33% (stress-insensitive) in the sanctioned session."""
+    """Neural-ensemble-only on blind set #5.  The sanctioned session
+    measured the round-5 initial ensemble at PER 7.01% / acc 74.33%;
+    the blind6-cycle retrain (blind4 folded into training, selection on
+    blind5) measured 74.16% / 6.52 — parity, with the cycle's gain
+    coming from routing (threshold open + neural-first)."""
     from efficientspeech_tpu.text.neural_g2p import load_default
 
     model = load_default()
@@ -388,8 +395,9 @@ def test_initialisms():
     assert " ".join(g("TPU")) == "T IY2 P IY2 Y UW1"
     assert " ".join(g("USA")) == "Y UW2 EH2 S EY1"
     assert " ".join(strip_stress(g("HTML"))) == "EY CH T IY EH M EH L"
-    # pronounceable / known all-caps stay words
-    assert " ".join(strip_stress(g("NASA"))) == "N EY Z AH"
+    # pronounceable / known all-caps stay words (nasa: lexicon entry,
+    # CMUdict N AE1 S AH0 — the old rule read was N EY Z AH)
+    assert " ".join(strip_stress(g("NASA"))) == "N AE S AH"
     assert " ".join(strip_stress(g("THE"))) == "DH AH"
     assert not is_initialism("iPhone")
     assert not is_initialism("the")
