@@ -474,3 +474,27 @@ def test_measure_runner_refuses_unsanctioned_current_blind():
              "PALLAS_AXON_POOL_IPS": "", "PYTHONPATH": ""})
     assert r.returncode != 0
     assert "REFUSED" in (r.stderr + r.stdout)
+
+
+def test_front_door_blind6_bound():
+    """BLIND generalization gates on the current blind set (#6),
+    measured once 2026-08-20 (ledger-recorded, sanctioned, all four
+    engine variants in one session): front door 50.88% / PER 10.96
+    stress-insensitive (46.82% / 14.13 stress-sensitive); neural-only
+    identical (routing is fully open, so every lexicon-disjoint word
+    rides the ensemble); rules-only 27.21% / 18.42.
+
+    Absolute levels are NOT comparable across blind sets (same caveat
+    as blind3/blind4 in round 4): blind6 deliberately samples erudite
+    Latinate/French/Greek vocabulary — the rules-only baseline is 19
+    pts below its blind5 level (27.2 vs 45.8), locating most of the
+    drop in set difficulty.  The neural-over-rules margin is
+    consistent: +28.5 pts on blind5, +23.7 on blind6.  Failures here
+    must not drive tuning without blind set #7."""
+    blind6 = load_eval_lexicon(BLIND6)
+    per, acc, cases = phone_error_rate(G2p(), blind6, ignore_stress=True)
+    assert per <= 0.125, f"blind6 PER regressed: {per:.3f}; {cases[:5]}"
+    assert acc >= 0.48, f"blind6 word accuracy regressed: {acc:.3f}"
+    per_s, acc_s, _ = phone_error_rate(G2p(), blind6, ignore_stress=False)
+    assert per_s <= 0.155, f"blind6 stress PER regressed: {per_s:.3f}"
+    assert acc_s >= 0.44, f"blind6 stress accuracy regressed: {acc_s:.3f}"
