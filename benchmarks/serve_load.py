@@ -125,7 +125,14 @@ def run_soak(args, synth, server):
                         wait = float(e.headers.get("Retry-After", "5"))
                     except (TypeError, ValueError):
                         wait = 5.0
-                    time.sleep(min(max(wait, 1.0), 15.0))
+                    # exponential backoff + full jitter on top of the
+                    # server hint: naive fixed-interval retries at high
+                    # concurrency re-offer the whole shed load at once
+                    # and a shed storm self-amplifies (observed in the
+                    # round-5 soak: level-64 p50 climbed to ~200 s)
+                    cap = min(max(wait, 2.0) * (2.0 ** min(sheds - 1, 4)),
+                              60.0)
+                    time.sleep(1.0 + rng.random() * cap)
                     continue
                 ok, voice = False, 0.0
                 break

@@ -852,6 +852,16 @@ def main():
                     continue
                 if state.draining:
                     return  # recycle imminent: start no new compile
+                # FIFO-relay courtesy (see the cold loop below): wait
+                # for a near-idle moment so ladder compiles don't block
+                # live dispatches; coverage shapes serve correctly in
+                # the meantime, so a delayed rung costs only a little
+                # wasted batch compute per request
+                t_wait = time.time()
+                while state.inflight > 2 and time.time() - t_wait < 60.0:
+                    time.sleep(1.0)
+                    if state.draining:
+                        return
                 try:
                     with compile_lock:
                         done = synth.precompile(buckets=[bkt],
@@ -867,14 +877,27 @@ def main():
             shape = cold_q.get()
             if state.draining:
                 return
+            # the relay is FIFO: a remote compile in flight blocks every
+            # serving dispatch queued behind it (20-30 s even on compile-
+            # cache hits — measured in the round-5 soak, where per-
+            # generation cold recompiles starved high-concurrency
+            # phases).  Wait for a near-idle moment, bounded so constant
+            # load can't postpone warms forever.
+            t_wait = time.time()
+            while state.inflight > 2 and time.time() - t_wait < 120.0:
+                time.sleep(1.0)
+                if state.draining:
+                    return
             try:
-                print(f"[serve] background-compiling cold shape {shape}")
+                print(f"[serve] background-compiling cold shape {shape} "
+                      f"(waited {time.time() - t_wait:.0f}s for quiet)",
+                      flush=True)
                 with compile_lock:
                     synth.aot_compile(*shape)
-                print(f"[serve] shape {shape} now warm")
+                print(f"[serve] shape {shape} now warm", flush=True)
             except Exception as e:
                 print(f"[serve] background compile of {shape} "
-                      f"failed: {e}")
+                      f"failed: {e}", flush=True)
 
     threading.Thread(target=_init_and_warm, daemon=True).start()
     print(f"serving on http://{args.host}:{args.port}  "
